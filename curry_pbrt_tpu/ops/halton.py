@@ -1,0 +1,217 @@
+"""Stateless vectorized Halton sampler.
+
+The reference sampler is a mutable per-thread object: `set_pixel` solves a CRT
+to find the Halton index whose first two radical inverses land in the pixel,
+`next_sample` strides the index, and `get_sample` walks a dim counter
+(/root/reference/src/sampler/halton.rs). On TPU the same math becomes a pure
+function of (pixel, sample_index, dim):
+
+    index(pixel, k) = pixel_offset[pixel] + k * (scale_x * scale_y)
+    dim 0: radical_inverse(index / scale_x, base 2)   (pixel-stratifying)
+    dim 1: radical_inverse(index / scale_y, base 3)
+    dim d >= 2: scrambled_radical_inverse(index, prime[d]) with SEEDED digit
+    permutations (the reference uses thread_rng — halton.rs:216-231 — which
+    makes its renders nondeterministic; we seed so images are reproducible).
+
+`pixel_offset` is precomputed host-side with numpy (it is a pure function of
+the pixel grid), so the device only does the per-(ray, dim) digit loops —
+fixed trip counts, fully unrolled, no data-dependent control flow.
+
+Dims >= MAX_DIMS fall back to a counter-based hash RNG (threefry-lite),
+mirroring the reference's `rand::random` fallback past its prime table
+(halton.rs:130-132).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from curry_pbrt_tpu.dtypes import Float
+
+# First 64 primes — enough for 2 pixel dims + ~6 bounces × 9 dims.
+PRIMES = [
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
+    71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137, 139, 149,
+    151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227, 229,
+    233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283, 293, 307, 311,
+]
+MAX_DIMS = len(PRIMES)
+PRIME_OFFSETS = np.concatenate([[0], np.cumsum(PRIMES)]).astype(np.int64)
+
+ONE_MINUS_EPS = Float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+def _max_digits(base: int) -> int:
+    """Digits needed to exhaust a uint32 in `base`."""
+    n, d = 1, 0
+    while n < 2**32:
+        n *= base
+        d += 1
+    return d
+
+
+def make_permutations(seed: int) -> np.ndarray:
+    """Seeded digit permutations for every prime, flattened.
+
+    perm for prime i lives at PRIME_OFFSETS[i] : PRIME_OFFSETS[i+1].
+    """
+    rng = np.random.RandomState(seed)
+    out = np.empty(PRIME_OFFSETS[-1], dtype=np.int32)
+    for i, p in enumerate(PRIMES):
+        out[PRIME_OFFSETS[i] : PRIME_OFFSETS[i + 1]] = rng.permutation(p)
+    return out
+
+
+class HaltonConfig(NamedTuple):
+    """Static per-render sampler config (all Python ints / host arrays)."""
+
+    scale_x: int
+    scale_y: int
+    exp_x: int
+    exp_y: int
+    spp: int
+    seed: int
+
+    @property
+    def scale_prod(self) -> int:
+        return self.scale_x * self.scale_y
+
+
+def make_halton_config(resolution, spp: int, seed: int = 0) -> HaltonConfig:
+    xres, yres = int(resolution[0]), int(resolution[1])
+    scale, exp = [1, 1], [0, 0]
+    for i, base in enumerate((2, 3)):
+        while scale[i] < (xres, yres)[i]:
+            scale[i] *= base
+            exp[i] += 1
+    return HaltonConfig(scale[0], scale[1], exp[0], exp[1], spp, seed)
+
+
+def _mult_inverse(a: int, n: int) -> int:
+    return pow(a, -1, n)
+
+
+def compute_pixel_offsets(cfg: HaltonConfig) -> np.ndarray:
+    """(yres_pad?, …) no — returns (scale-independent) offset per pixel of the
+    FULL scale grid restricted to [0,xres)×[0,yres): here computed for all
+    pixel coordinates on a (H, W) grid, H=scale_y bound by caller's slicing.
+
+    Returns uint32 array of shape (yres, xres) — entry [y, x] is the smallest
+    Halton index whose first two scaled radical inverses land in pixel (x, y).
+    Mirrors halton.rs:108-119 with vectorized numpy.
+    """
+    # digit-reverse x in base 2 with exp_x digits; y in base 3 with exp_y digits
+    def inverse_exp(vals: np.ndarray, base: int, exp: int) -> np.ndarray:
+        x = vals.astype(np.int64)
+        acc = np.zeros_like(x)
+        digit_count = np.zeros_like(x)
+        for _ in range(max(exp, 1)):
+            nz = x != 0
+            digit = x % base
+            x = x // base
+            acc = np.where(nz, acc * base + digit, acc)
+            digit_count = np.where(nz, digit_count + 1, digit_count)
+        pad = np.maximum(exp - digit_count, 0)
+        return acc * np.power(base, pad)
+
+    xs = inverse_exp(np.arange(0, cfg.scale_x, dtype=np.int64), 2, cfg.exp_x)
+    ys = inverse_exp(np.arange(0, cfg.scale_y, dtype=np.int64), 3, cfg.exp_y)
+    minv_x = _mult_inverse(cfg.scale_y, cfg.scale_x) if cfg.scale_x > 1 else 0
+    minv_y = _mult_inverse(cfg.scale_x, cfg.scale_y) if cfg.scale_y > 1 else 0
+    offs = (
+        xs[None, :] * cfg.scale_y * minv_x + ys[:, None] * cfg.scale_x * minv_y
+    ) % cfg.scale_prod
+    return offs.astype(np.uint32)
+
+
+def halton_indices(pixel_offsets, sample_idx, cfg: HaltonConfig):
+    """pixel_offsets: (...,) uint32 gathered for each ray; sample_idx (...,)."""
+    return pixel_offsets + sample_idx.astype(jnp.uint32) * jnp.uint32(cfg.scale_prod)
+
+
+def radical_inverse(x, base: int):
+    """Plain radical inverse of uint32 x in `base`.
+
+    The reference accumulates the digit-reversed integer then divides by
+    b^digit_count (halton.rs:36-69); that integer overflows 32 bits for
+    bases ≥ 3, so we accumulate the mathematically-identical per-digit sum
+    Σ_j digit_j · b^-(j+1) in f32 instead (LSB digit first).
+    """
+    b = jnp.uint32(base)
+    r = jnp.zeros(x.shape, dtype=Float)
+    w = Float(1.0 / base)
+    for _ in range(_max_digits(base)):
+        nz = x != 0
+        digit = x % b
+        x = x // b
+        r = jnp.where(nz, r + digit.astype(Float) * w, r)
+        w = w * Float(1.0 / base)
+    return r
+
+
+def scrambled_radical_inverse(x, dim: int, perms):
+    """Scrambled radical inverse with per-base digit permutation.
+
+    Matches halton.rs:25-63 including the permuted-zero tail term
+    b^-dc · (1/b)·perm[0]/(1 − 1/b), which accounts for the infinite run of
+    zero digits above the top digit all mapping through the permutation.
+    """
+    base = PRIMES[dim]
+    off = int(PRIME_OFFSETS[dim])
+    perm = jnp.asarray(perms[off : off + base], dtype=jnp.int32)
+    b = jnp.uint32(base)
+    r = jnp.zeros(x.shape, dtype=Float)
+    w = Float(1.0 / base)
+    digit_count = jnp.zeros(x.shape, dtype=jnp.int32)
+    for _ in range(_max_digits(base)):
+        nz = x != 0
+        digit = x % b
+        x = x // b
+        pd = jnp.take(perm, digit.astype(jnp.int32)).astype(Float)
+        r = jnp.where(nz, r + pd * w, r)
+        digit_count = jnp.where(nz, digit_count + 1, digit_count)
+        w = w * Float(1.0 / base)
+    inv_base = Float(1.0 / base)
+    inv_base_n = jnp.power(Float(base), -digit_count.astype(Float))
+    tail = inv_base * perm[0].astype(Float) / (1.0 - inv_base)
+    return r + inv_base_n * tail
+
+
+def _hash_u32(x, salt):
+    """Cheap counter-based RNG for dims past the prime table (the reference
+    falls back to rand::random — halton.rs:130-132). xxhash-style mixing."""
+    x = x ^ jnp.uint32(salt)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def halton_sample(indices, dim: int, cfg: HaltonConfig, perms):
+    """Sample value for static `dim` at each Halton index. indices: (...,)
+    uint32 → f32 in [0, 1). Matches HaltonSampler::get_sample + get_1d clamp
+    (sampler/mod.rs:10-17)."""
+    if dim == 0:
+        r = radical_inverse(indices // jnp.uint32(cfg.scale_x), 2)
+    elif dim == 1:
+        r = radical_inverse(indices // jnp.uint32(cfg.scale_y), 3)
+    elif dim < MAX_DIMS:
+        r = scrambled_radical_inverse(indices, dim, perms)
+    else:
+        salt = (0x9E3779B9 * (dim + 1) + cfg.seed) & 0xFFFFFFFF
+        r = _hash_u32(indices, salt).astype(Float) * Float(2.0**-32)
+    return jnp.minimum(r, ONE_MINUS_EPS)
+
+
+def halton_sample_2d(indices, dim: int, cfg: HaltonConfig, perms):
+    return jnp.stack(
+        [
+            halton_sample(indices, dim, cfg, perms),
+            halton_sample(indices, dim + 1, cfg, perms),
+        ],
+        axis=-1,
+    )
