@@ -1,0 +1,395 @@
+"""Wavefront integrators: MIS-NEE path tracing and direct lighting.
+
+The reference traces one ray at a time through a recursive loop
+(/root/reference/src/integrator/path.rs) with dynamic control flow. The TPU
+version holds the WHOLE ray batch in SoA arrays and runs a fixed-depth,
+fully-unrolled wavefront loop with active-lane masks:
+
+    for bounce in 0..max_depth+1:
+        intersect-all → add emission (bounce 0 / specular chains)
+        → NEE (pick light, shadow ray, MIS; + bsdf-strategy leg)
+        → BSDF sample → spawn continuation → Russian roulette (mask+reweight)
+
+Every lane consumes the same, statically-assigned Halton dimensions per
+bounce (8: light pick, light 2D, NEE-bsdf 2D, bsdf bucket+extra, RR), which
+keeps the sampler a pure function of (pixel, sample, dim) — the reference's
+dim counter advances data-dependently instead (documented in DESIGN.md; our
+CPU oracle is this same code on the CPU backend, seeded identically).
+
+Shading dispatches over the scene's (deduplicated) material instances with
+lane masks — each instance's lobe list is static so its BSDF math
+vectorizes exactly (see models/materials.py).
+
+Algorithm mapping to the reference:
+  uniform_sample_one_light ← integrator/mod.rs:13-97 (both MIS strategies,
+      delta-light shortcut, Arc::ptr_eq light identity → light-id compare)
+  PathIntegrator::li       ← integrator/path.rs:13-66 (emission gating on
+      bounce-0/specular, NEE gating on is_all_delta, RR after bounce 3 with
+      q = max(0.05, 1−β.y), throughput update β·f·|cosθ|/pdf)
+  DirectLightIntegrator    ← integrator/direct_light.rs (NEE at first hit +
+      recursion through every delta lobe, batch-doubling per level)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
+from curry_pbrt_tpu.models import lights as LT
+from curry_pbrt_tpu.models.materials import CompiledMaterial, lobe_kinds
+from curry_pbrt_tpu.ops import bsdf as B
+from curry_pbrt_tpu.ops import math as m
+from curry_pbrt_tpu.ops.halton import HaltonConfig, halton_sample, halton_sample_2d
+from curry_pbrt_tpu.ops.intersect import Hit, offset_point_by_error
+
+DIMS_PER_BOUNCE = 8
+(D_LIGHT_PICK, D_LIGHT_U, D_LIGHT_V, D_NEE_U, D_NEE_V, D_BSDF_BUCKET,
+ D_BSDF_EXTRA, D_RR) = range(DIMS_PER_BOUNCE)
+
+
+@dataclass
+class ShadeContext:
+    """Static shading info shared by the integrators."""
+
+    materials: List[CompiledMaterial]  # only instances actually referenced
+    registry: dict  # named materials (for mix)
+    lights: LT.LightArrays
+    env: Optional[LT.EnvMap]
+    n_lights: int
+    mat_is_all_delta: np.ndarray  # host (M_total,) indexed by mat_id
+    intersect: Callable  # (o, d, t_max) -> Hit
+    predicate: Callable  # (o, d, t_max) -> (N,) bool
+    prim_mat: jnp.ndarray  # (P,)
+    prim_light: jnp.ndarray  # (P,)
+
+    def mat_mask(self, mat_ids, mat: CompiledMaterial):
+        return mat_ids == mat.mat_id
+
+
+def _shading_frame(n):
+    """BSDF::new with sn == n (bxdf/mod.rs:83-97): local +z is the geometric
+    normal."""
+    x, y = m.coordinate_system(n)
+    return x, y, n
+
+
+def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
+    """no_delta_f_pdf across material instances → (f, pdf, present)."""
+    N = wo_l.shape[0]
+    f = jnp.zeros((N, 3), Float)
+    pdf = jnp.zeros((N,), Float)
+    present = jnp.zeros((N,), bool)
+    for mat in ctx.materials:
+        lobes = mat.make_lobes(uv, params, ctx.registry)
+        if not any(not l.is_delta for l in lobes):
+            continue
+        mf, mp, mpres = B.bsdf_eval_pdf(lobes, wo_l, wi_l)
+        sel = ctx.mat_mask(mat_ids, mat)
+        f = jnp.where(sel[:, None], mf, f)
+        pdf = jnp.where(sel, mp, pdf)
+        present = jnp.where(sel, mpres, present)
+    return f, pdf, present
+
+
+def shade_sample_nondelta(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_pick, u2):
+    """sample_no_delta_f across instances → (wi_l, f, pdf, present)."""
+    N = wo_l.shape[0]
+    wi = jnp.zeros((N, 3), Float)
+    f = jnp.zeros((N, 3), Float)
+    pdf = jnp.zeros((N,), Float)
+    present = jnp.zeros((N,), bool)
+    for mat in ctx.materials:
+        lobes = mat.make_lobes(uv, params, ctx.registry)
+        if not any(not l.is_delta for l in lobes):
+            continue
+        mwi, mf, mp, mpres = B.bsdf_sample_nondelta(lobes, wo_l, u_pick, u2)
+        sel = ctx.mat_mask(mat_ids, mat)
+        wi = jnp.where(sel[:, None], mwi, wi)
+        f = jnp.where(sel[:, None], mf, f)
+        pdf = jnp.where(sel, mp, pdf)
+        present = jnp.where(sel, mpres, present)
+    return wi, f, pdf, present
+
+
+def shade_sample(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_bucket, u_extra):
+    """sample_f across instances → (wi_l, f, pdf, present, is_delta)."""
+    N = wo_l.shape[0]
+    wi = jnp.zeros((N, 3), Float)
+    f = jnp.zeros((N, 3), Float)
+    pdf = jnp.zeros((N,), Float)
+    present = jnp.zeros((N,), bool)
+    is_delta = jnp.zeros((N,), bool)
+    for mat in ctx.materials:
+        lobes = mat.make_lobes(uv, params, ctx.registry)
+        mwi, mf, mp, mpres, mdelta = B.bsdf_sample(lobes, wo_l, u_bucket, u_extra)
+        sel = ctx.mat_mask(mat_ids, mat)
+        wi = jnp.where(sel[:, None], mwi, wi)
+        f = jnp.where(sel[:, None], mf, f)
+        pdf = jnp.where(sel, mp, pdf)
+        present = jnp.where(sel, mpres, present)
+        is_delta = jnp.where(sel, mdelta, is_delta)
+    return wi, f, pdf, present, is_delta
+
+
+def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
+    """One-light MIS NEE for a shaded batch (integrator/mod.rs:13-97).
+
+    u: dict of sampler values for this bounce. Returns (N,3) radiance
+    (already multiplied by the light count).
+    """
+    if ctx.n_lights == 0:
+        return jnp.zeros(wo.shape, Float)
+    N = wo.shape[0]
+    fx, fy, fz = frame
+    p, n, perr, uv = hit.p, hit.n, hit.p_error, hit.uv
+    light_L = params["light_L"]
+
+    # pick one light uniformly (get_usize — sampler/mod.rs:26-35)
+    lf = u["light_pick"] * Float(ctx.n_lights)
+    light_idx = jnp.minimum(lf.astype(jnp.int32), ctx.n_lights - 1)
+
+    ls = LT.sample_li(
+        ctx.lights, ctx.env, light_L, light_idx, p, n, perr,
+        jnp.stack([u["light_u"], u["light_v"]], axis=-1),
+    )
+    chosen_delta = jnp.take(ctx.lights.is_delta, light_idx)
+
+    # --- light strategy
+    wi_l = m.to_local(ls.wi, fx, fy, fz)
+    wo_l = m.to_local(wo, fx, fy, fz)
+    f, f_pdf, f_pres = shade_eval(ctx, mat_ids, uv, params, wo_l, wi_l)
+    occluded = ctx.predicate(ls.vis_o, ls.vis_d, ls.vis_tmax)
+    cos_term = jnp.abs(m.dot(n, ls.wi))
+    safe_li_pdf = jnp.where(ls.pdf == 0, 1.0, ls.pdf)
+    weight = jnp.where(
+        chosen_delta, 1.0, m.power_heuristic(ls.pdf, f_pdf)
+    )
+    ld_light = ls.li * f * (cos_term * weight / safe_li_pdf)[:, None]
+    ok = ls.present & (ls.pdf != 0) & f_pres & (f_pdf != 0) & ~occluded
+    ld_light = jnp.where(ok[:, None], ld_light, 0.0)
+
+    # --- bsdf strategy (non-delta lights only, integrator/mod.rs:54-90)
+    wi2_l, f2, f2_pdf, f2_pres = shade_sample_nondelta(
+        ctx, mat_ids, uv, params, wo_l, u["nee_u"], u["nee_v"]
+    )
+    wi2 = m.to_world(wi2_l, fx, fy, fz)
+    o2 = offset_point_by_error(p, n, perr, wi2)
+    hit2 = ctx.intersect(o2, wi2, jnp.full((N,), FLOAT_MAX))
+    hit2_light = jnp.take(ctx.prim_light, jnp.maximum(hit2.prim, 0))
+    hit2_light = jnp.where(hit2.prim >= 0, hit2_light, -1)
+    same_light = (hit2_light >= 0) & (hit2_light == light_idx)
+    li2 = LT.le_emitted(light_L, jnp.where(same_light, light_idx, -1))
+    li2_pdf = LT.le_pdf(
+        ctx.lights, jnp.where(same_light, light_idx, -1), p, hit2.p, hit2.n
+    )
+    cos2 = jnp.abs(m.dot(n, wi2))
+    safe_f2_pdf = jnp.where(f2_pdf == 0, 1.0, f2_pdf)
+    ld_hit = li2 * f2 * (cos2 * m.power_heuristic(f2_pdf, li2_pdf) / safe_f2_pdf)[:, None]
+    ok_hit = same_light & (li2_pdf != 0)
+
+    if ctx.env is not None:
+        chosen_inf = jnp.take(ctx.lights.type_id, light_idx) == LT.TYPE_INFINITE
+        le3 = LT.eval_env(ctx.env, wi2) * jnp.take(light_L, light_idx, axis=0)
+        le3_pdf = LT.env_out_scene_pdf(ctx.env, wi2)
+        ld_esc = le3 * f2 * (cos2 * m.power_heuristic(f2_pdf, le3_pdf) / safe_f2_pdf)[:, None]
+        ok_esc = (hit2.prim < 0) & chosen_inf & (le3_pdf != 0)
+    else:
+        ld_esc = jnp.zeros((N, 3), Float)
+        ok_esc = jnp.zeros((N,), bool)
+
+    ld_bsdf = jnp.where(ok_hit[:, None], ld_hit, jnp.where(ok_esc[:, None], ld_esc, 0.0))
+    ld_bsdf = jnp.where(
+        ((~chosen_delta) & f2_pres & (f2_pdf != 0))[:, None], ld_bsdf, 0.0
+    )
+
+    return (ld_light + ld_bsdf) * Float(ctx.n_lights)
+
+
+def _bounce_dims(dim_base: int, bounce: int):
+    return dim_base + DIMS_PER_BOUNCE * bounce
+
+
+def _sampler_dict(indices, dim0: int, cfg: HaltonConfig, perms):
+    return {
+        "light_pick": halton_sample(indices, dim0 + D_LIGHT_PICK, cfg, perms),
+        "light_u": halton_sample(indices, dim0 + D_LIGHT_U, cfg, perms),
+        "light_v": halton_sample(indices, dim0 + D_LIGHT_V, cfg, perms),
+        "nee_u": halton_sample(indices, dim0 + D_NEE_U, cfg, perms),
+        "nee_v": halton_sample(indices, dim0 + D_NEE_V, cfg, perms),
+        "bsdf_bucket": halton_sample(indices, dim0 + D_BSDF_BUCKET, cfg, perms),
+        "bsdf_extra": halton_sample(indices, dim0 + D_BSDF_EXTRA, cfg, perms),
+        "rr": halton_sample(indices, dim0 + D_RR, cfg, perms),
+    }
+
+
+def path_trace(
+    ctx: ShadeContext,
+    params,
+    o, d,  # (N,3) camera rays
+    indices,  # (N,) halton indices
+    cfg: HaltonConfig,
+    perms,
+    max_depth: int,
+    dim_base: int,
+    count_rays: bool = False,
+):
+    """PathIntegrator::li over a ray batch → (N,3) radiance.
+
+    With count_rays=True returns (radiance, segments) where segments is the
+    number of traced ray segments (closest-hit + shadow + MIS rays over all
+    lanes actually doing the work) — the bench.py rays/sec numerator.
+    """
+    N = o.shape[0]
+    segments = jnp.zeros((), Float)
+    L = jnp.zeros((N, 3), Float)
+    beta = jnp.ones((N, 3), Float)
+    active = jnp.ones((N,), bool)
+    specular = jnp.zeros((N,), bool)
+    light_L = params["light_L"]
+    mat_all_delta = jnp.asarray(ctx.mat_is_all_delta)
+
+    for bounce in range(max_depth + 1):
+        t_max = jnp.full((N,), FLOAT_MAX)
+        hit = ctx.intersect(o, d, t_max)
+        hit_valid = hit.valid & active
+        if count_rays:
+            segments = segments + jnp.sum(active.astype(Float))
+
+        # emission (path.rs:21-29)
+        if bounce == 0:
+            gate = active
+        else:
+            gate = active & specular
+        hit_light = jnp.take(ctx.prim_light, jnp.maximum(hit.prim, 0))
+        hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
+        le = LT.le_emitted(light_L, jnp.where(gate, hit_light, -1))
+        L = L + beta * le
+        esc = LT.le_out_scene_total(ctx.lights, ctx.env, light_L, d)
+        L = L + jnp.where((gate & ~hit.valid)[:, None], beta * esc, 0.0)
+
+        if bounce >= max_depth:
+            break
+
+        mat_ids = jnp.take(ctx.prim_mat, jnp.maximum(hit.prim, 0))
+        mat_ids = jnp.where(hit.prim >= 0, mat_ids, -1)
+        has_mat = hit_valid & (mat_ids >= 0)
+        active = has_mat  # light-prims and misses terminate (path.rs:30-34,64)
+
+        dim0 = _bounce_dims(dim_base, bounce)
+        u = _sampler_dict(indices, dim0, cfg, perms)
+
+        frame = _shading_frame(hit.n)
+        wo = -d
+        is_all_delta = jnp.take(mat_all_delta, jnp.maximum(mat_ids, 0))
+
+        nee = uniform_sample_one_light(ctx, params, hit, mat_ids, wo, frame, u)
+        L = L + jnp.where((active & ~is_all_delta)[:, None], beta * nee, 0.0)
+        if count_rays:
+            # NEE traces a shadow ray + a full MIS-leg ray per shaded lane
+            segments = segments + 2.0 * jnp.sum((active & ~is_all_delta).astype(Float))
+
+        # continuation (path.rs:41-46)
+        fx, fy, fz = frame
+        wo_l = m.to_local(wo, fx, fy, fz)
+        wi_l, f, pdf, pres, is_delta = shade_sample(
+            ctx, mat_ids, hit.uv, params, wo_l, u["bsdf_bucket"], u["bsdf_extra"]
+        )
+        wi = m.to_world(wi_l, fx, fy, fz)
+        cont = active & pres & (pdf != 0)
+        safe_pdf = jnp.where(pdf == 0, 1.0, pdf)
+        throughput = f * (jnp.abs(m.dot(wi, hit.n)) / safe_pdf)[:, None]
+        beta = jnp.where(cont[:, None], beta * throughput, beta)
+        o = jnp.where(
+            cont[:, None], offset_point_by_error(hit.p, hit.n, hit.p_error, wi), o
+        )
+        d = jnp.where(cont[:, None], wi, d)
+        specular = jnp.where(cont, is_delta, specular)
+        active = cont
+
+        # Russian roulette after bounce 3 (path.rs:47-56)
+        if bounce > 3:
+            q = jnp.maximum(0.05, 1.0 - B.luminance(beta))
+            kill = u["rr"] < q
+            active = active & ~kill
+            beta = beta / jnp.maximum(1.0 - q, 1e-6)[:, None]
+
+    if count_rays:
+        return L, segments
+    return L
+
+
+def direct_light_trace(
+    ctx: ShadeContext,
+    params,
+    o, d,
+    indices,
+    cfg: HaltonConfig,
+    perms,
+    max_depth: int,
+    dim_base: int,
+    max_delta_lobes: int,
+):
+    """DirectLightIntegrator::li — NEE at the hit plus recursion through
+    EVERY delta lobe (direct_light.rs:12-42). Each recursion level doubles
+    the batch per delta lobe (breadth-first lane splitting); level count is
+    max_depth, so work is Σ_k branches^k · N — exact, no stochastic lobe
+    choice, matching the reference's branch enumeration.
+    """
+    light_L = params["light_L"]
+
+    def level(o, d, weight, live, depth):
+        N = o.shape[0]
+        out = jnp.zeros((N, 3), Float)
+        hit = ctx.intersect(o, d, jnp.full((N,), FLOAT_MAX))
+        hit_light = jnp.take(ctx.prim_light, jnp.maximum(hit.prim, 0))
+        hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
+        mat_ids = jnp.take(ctx.prim_mat, jnp.maximum(hit.prim, 0))
+        mat_ids = jnp.where(hit.prim >= 0, mat_ids, -1)
+        has_mat = hit.valid & (mat_ids >= 0) & live
+
+        # le for light-prims (direct_light.rs:33-35), escaped env otherwise
+        le = LT.le_emitted(light_L, jnp.where(live & (hit_light >= 0), hit_light, -1))
+        out = out + weight * le
+        esc = LT.le_out_scene_total(ctx.lights, ctx.env, light_L, d)
+        out = out + jnp.where((live & ~hit.valid)[:, None], weight * esc, 0.0)
+
+        dim0 = dim_base + DIMS_PER_BOUNCE * depth
+        u = _sampler_dict(indices, dim0, cfg, perms)
+        frame = _shading_frame(hit.n)
+        wo = -m.normalize(d)
+        nee = uniform_sample_one_light(ctx, params, hit, mat_ids, wo, frame, u)
+        out = out + jnp.where(has_mat[:, None], weight * nee, 0.0)
+
+        if depth + 1 < max_depth and max_delta_lobes > 0:
+            fx, fy, fz = frame
+            wo_l = m.to_local(wo, fx, fy, fz)
+            for branch in range(max_delta_lobes):
+                # per-material delta lobe #branch
+                N3 = (N, 3)
+                bwi = jnp.zeros(N3, Float)
+                bf = jnp.zeros(N3, Float)
+                bok = jnp.zeros((N,), bool)
+                for mat in ctx.materials:
+                    lobes = [l for l in mat.make_lobes(hit.uv, params, ctx.registry) if l.is_delta]
+                    if branch >= len(lobes):
+                        continue
+                    wi_l, f_l, ok_l = B.delta_lobe_sample(lobes[branch], wo_l)
+                    sel = ctx.mat_mask(mat_ids, mat)
+                    bwi = jnp.where(sel[:, None], m.to_world(wi_l, fx, fy, fz), bwi)
+                    bf = jnp.where(sel[:, None], f_l, bf)
+                    bok = jnp.where(sel, ok_l, bok)
+                blive = has_mat & bok
+                cosw = jnp.abs(m.dot(hit.n, bwi))
+                bo = offset_point_by_error(hit.p, hit.n, hit.p_error, bwi)
+                wnext = jnp.where(
+                    blive[:, None], weight * bf * cosw[:, None], 0.0
+                )
+                out = out + level(bo, bwi, wnext, blive, depth + 1)
+        return out
+
+    N = o.shape[0]
+    return level(o, d, jnp.ones((N, 3), Float), jnp.ones((N,), bool), 0)

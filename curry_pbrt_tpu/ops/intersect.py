@@ -103,26 +103,23 @@ def _permutation_indices(d):
     return jnp.stack([kx, ky, kz], axis=-1)
 
 
-def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
-    """Dense (N rays × T tris) watertight test returning only (t, bary, ok).
+def watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2):
+    """Watertight Möller test on broadcast-compatible batches.
 
-    o/d: (N,3); t_max: (N,). Returns t: (N,T), b: (N,T,3), ok: (N,T) bool.
-    Attribute reconstruction happens separately on the winner (see
-    `triangle_hit_attributes`) to keep the O(N·T) working set small.
+    o: (..., 3) ray origins; perm: (..., 3) axis permutation (from
+    `_permutation_indices(d)`); sx/sy/sz: (...) shear factors; t_max: (...);
+    p0/p1/p2: (..., 3) triangle vertices (broadcast against the ray dims).
+    Returns (t, b: (...,3) barycentrics, ok).
     """
-    perm = _permutation_indices(d)  # (N,3)
-    dp = jnp.take_along_axis(d, perm, axis=-1)  # (N,3)
-    # translate verts into ray-local frame, then permute axes per ray
-    def prep(v):  # v: (T,3) → (N,T,3) permuted
-        t = v[None, :, :] - o[:, None, :]
-        return jnp.take_along_axis(t, jnp.broadcast_to(perm[:, None, :], t.shape), axis=-1)
+    def prep(v):
+        t = v - o
+        return jnp.take_along_axis(
+            jnp.broadcast_to(t, jnp.broadcast_shapes(t.shape, perm.shape)),
+            jnp.broadcast_to(perm, jnp.broadcast_shapes(t.shape, perm.shape)),
+            axis=-1,
+        )
 
-    p0t, p1t, p2t = prep(tris.p0), prep(tris.p1), prep(tris.p2)
-    dz = dp[:, 2]
-    dz = jnp.where(dz == 0, 1.0, dz)  # degenerate (masked) lanes only
-    sx = (-dp[:, 0] / dz)[:, None]
-    sy = (-dp[:, 1] / dz)[:, None]
-    sz = (1.0 / dz)[:, None]
+    p0t, p1t, p2t = prep(p0), prep(p1), prep(p2)
 
     def shear_xy(p):
         return p[..., 0] + sx * p[..., 2], p[..., 1] + sy * p[..., 2]
@@ -139,11 +136,10 @@ def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
     z1 = p1t[..., 2] * sz
     z2 = p2t[..., 2] * sz
     t_scaled = e0 * z0 + e1 * z1 + e2 * z2
-    tm = t_max[:, None]
     in_range = jnp.where(
         det < 0,
-        (t_scaled < 0) & (t_scaled >= tm * det),
-        (t_scaled > 0) & (t_scaled <= tm * det),
+        (t_scaled < 0) & (t_scaled >= t_max * det),
+        (t_scaled > 0) & (t_scaled <= t_max * det),
     )
     safe_det = jnp.where(det == 0, 1.0, det)
     inv_det = 1.0 / safe_det
@@ -163,8 +159,32 @@ def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
     )
 
     ok = same_side & (det != 0) & in_range & (t > delta_t)
-    ok = ok & (tris.prim[None, :] >= 0)
     b = jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
+    return jnp.where(ok, t, FLOAT_MAX), b, ok
+
+
+def ray_shear(d):
+    """Precompute (perm, sx, sy, sz) for the watertight test. d: (N,3)."""
+    perm = _permutation_indices(d)
+    dp = jnp.take_along_axis(d, perm, axis=-1)
+    dz = dp[..., 2]
+    dz = jnp.where(dz == 0, 1.0, dz)  # degenerate (masked) lanes only
+    return perm, -dp[..., 0] / dz, -dp[..., 1] / dz, 1.0 / dz
+
+
+def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
+    """Dense (N rays × T tris) watertight test returning only (t, bary, ok).
+
+    o/d: (N,3); t_max: (N,). Returns t: (N,T), b: (N,T,3), ok: (N,T) bool.
+    Attribute reconstruction happens separately on the winner (see
+    `triangle_hit_attributes`) to keep the O(N·T) working set small.
+    """
+    perm, sx, sy, sz = ray_shear(d)
+    t, b, ok = watertight_core(
+        o[:, None, :], perm[:, None, :], sx[:, None], sy[:, None], sz[:, None],
+        t_max[:, None], tris.p0[None], tris.p1[None], tris.p2[None],
+    )
+    ok = ok & (tris.prim[None, :] >= 0)
     return jnp.where(ok, t, FLOAT_MAX), b, ok
 
 
