@@ -87,19 +87,15 @@ def _prim_bounds(scene) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return bmin.astype(np.float32), bmax.astype(np.float32), refs
 
 
-def _sah_build(bmin, bmax, refs):
-    """Reference-cost SAH recursive build → node list in DFS order.
-
-    Returns (nodes, order) where nodes = list of dicts and order is the
-    permuted prim index array.
-    """
+def _sah_build(bmin, bmax):
+    """Reference-cost SAH recursive build → (nodes, order): node dicts in
+    DFS pre-order and the permuted primitive index array."""
     try:
         from curry_pbrt_tpu.ops import bvh_native
 
         return bvh_native.sah_build(bmin, bmax)
-    except Exception:
-        pass
-    return _sah_build_numpy(bmin, bmax)
+    except ImportError:
+        return _sah_build_numpy(bmin, bmax)
 
 
 def _sah_build_numpy(bmin, bmax):
@@ -163,38 +159,6 @@ def _sah_build_numpy(bmin, bmax):
     return nodes, order
 
 
-def _split_big_leaves(nodes, max_leaf: int):
-    """Median-split any leaf larger than LEAF_SIZE (device leaves are
-    fixed-width; the SAH cost can produce bigger leaves)."""
-    out = []
-
-    def emit(node_id, nodes_in, mapping):
-        pass
-
-    # simpler: rebuild list expanding big leaves into balanced binary subtrees
-    def expand(node, emitted):
-        me = len(emitted)
-        emitted.append(None)
-        if node["leaf"] and node["count"] <= max_leaf:
-            emitted[me] = dict(node)
-            return me
-        if node["leaf"]:
-            half = node["count"] // 2
-            l = dict(leaf=True, first=node["first"], count=half,
-                     bmin=node["bmin"], bmax=node["bmax"])
-            r = dict(leaf=True, first=node["first"] + half, count=node["count"] - half,
-                     bmin=node["bmin"], bmax=node["bmax"])
-            li = expand(l, emitted)
-            ri = expand(r, emitted)
-            emitted[me] = dict(leaf=False, left=li, right=ri, axis=0,
-                               bmin=node["bmin"], bmax=node["bmax"])
-            return me
-        emitted[me] = dict(node)
-        return me
-
-    return nodes  # big-leaf splitting handled in _flatten instead
-
-
 def build_flat_bvh(scene) -> FlatBVH:
     bmin, bmax, refs = _prim_bounds(scene)
     if len(refs) == 0:
@@ -206,33 +170,8 @@ def build_flat_bvh(scene) -> FlatBVH:
         )
     nodes, order = _sah_build(bmin, bmax)
 
-    # flatten with threading; split oversize leaves into chained leaf nodes
-    fb_min, fb_max, fhit, fmiss, ffirst, fcount = [], [], [], [], [], []
-
-    def emit(node_id, miss_link):
-        node = nodes[node_id]
-        me = len(fb_min)
-        if node["leaf"]:
-            first, count = node["first"], node["count"]
-            # chain of ≤LEAF_SIZE leaves sharing the same bounds
-            pieces = [(first + k, min(LEAF_SIZE, count - k)) for k in range(0, count, LEAF_SIZE)]
-            for i, (f0, c0) in enumerate(pieces):
-                nxt = miss_link if i == len(pieces) - 1 else len(fb_min) + 1
-                fb_min.append(node["bmin"]); fb_max.append(node["bmax"])
-                ffirst.append(f0); fcount.append(c0)
-                fhit.append(nxt); fmiss.append(nxt)
-            return me
-        fb_min.append(node["bmin"]); fb_max.append(node["bmax"])
-        ffirst.append(-1); fcount.append(0)
-        fhit.append(-2); fmiss.append(miss_link)  # hit patched to first child
-        left_id = emit(node["left"], miss_link=None)  # patched below
-        # left's miss link must point at right's entry
-        right_id = emit(node["right"], miss_link=miss_link)
-        fhit[me] = left_id
-        # patch left subtree's escape links: every link equal to None → right_id
-        return me
-
-    # two-pass approach is fiddly; emit iteratively with explicit stack instead
+    # flatten with threading; oversize SAH leaves split into chained
+    # fixed-width leaf nodes
     fb_min, fb_max, fhit, fmiss, ffirst, fcount = [], [], [], [], [], []
 
     def emit_iter(root):

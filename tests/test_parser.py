@@ -101,7 +101,9 @@ class TestSegments:
 class TestSPD:
     def test_constant_spd_is_grayish(self):
         rgb = spd.spd_to_rgb([400.0, 1.0, 700.0, 1.0])
-        assert np.all(np.abs(rgb - 1.0) < 0.15), rgb  # flat SPD ≈ white
+        # equal-energy illuminant through the sRGB matrix is warm-white
+        assert np.all(np.abs(rgb - 1.0) < 0.25), rgb
+        assert abs(spd.luminance(rgb) - 1.0) < 0.01
 
     def test_red_spd(self):
         # energy only in long wavelengths → red-dominant

@@ -86,10 +86,7 @@ class TestShardedTraining:
         from functools import partial
         from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax.experimental.shard_map import shard_map
-        except ImportError:
-            from jax import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(8)
 
