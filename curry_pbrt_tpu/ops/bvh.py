@@ -89,13 +89,9 @@ def _prim_bounds(scene) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _sah_build(bmin, bmax):
     """Reference-cost SAH recursive build → (nodes, order): node dicts in
-    DFS pre-order and the permuted primitive index array."""
-    try:
-        from curry_pbrt_tpu.ops import bvh_native
-
-        return bvh_native.sah_build(bmin, bmax)
-    except ImportError:
-        return _sah_build_numpy(bmin, bmax)
+    DFS pre-order and the permuted primitive index array (numpy fallback
+    path; the C++ builder produces flat arrays directly)."""
+    return _sah_build_numpy(bmin, bmax)
 
 
 def _sah_build_numpy(bmin, bmax):
@@ -168,6 +164,19 @@ def build_flat_bvh(scene) -> FlatBVH:
             jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32), int(np.asarray(scene.tris.p0).shape[0]),
         )
+    # native C++ builder (SAH + threading + flattening in one pass)
+    from curry_pbrt_tpu.ops import bvh_native
+
+    flat = bvh_native.sah_build_flat(bmin, bmax)
+    if flat is not None:
+        return FlatBVH(
+            bmin=jnp.asarray(flat["bmin"]), bmax=jnp.asarray(flat["bmax"]),
+            hit=jnp.asarray(flat["hit"]), miss=jnp.asarray(flat["miss"]),
+            first=jnp.asarray(flat["first"]), count=jnp.asarray(flat["count"]),
+            prim_refs=jnp.asarray(refs[flat["order"]].astype(np.int32)),
+            n_tris=int(np.asarray(scene.tris.p0).shape[0]),
+        )
+
     nodes, order = _sah_build(bmin, bmax)
 
     # flatten with threading; oversize SAH leaves split into chained
@@ -276,17 +285,7 @@ def _leaf_prim_test(bvh: FlatBVH, tris, sph, slot, valid, o, d, shear, t_max):
         radius = jnp.take(sph.radius, sph_idx)
         o_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o) + w2o[:, :3, 3]
         d_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d)
-        a = jnp.sum(d_obj * d_obj, axis=-1)
-        safe_a = jnp.where(a == 0, 1.0, a)
-        t_center = -jnp.sum(o_obj * d_obj, axis=-1) / safe_a
-        perp = o_obj + t_center[..., None] * d_obj
-        perp2 = jnp.sum(perp * perp, axis=-1)
-        r2 = radius * radius
-        dt = jnp.sqrt(jnp.maximum((r2 - perp2) / safe_a, 0.0))
-        t0 = t_center - dt
-        t1 = t_center + dt
-        t_s = jnp.where(t0 >= 0.0, t0, t1)
-        ok_s = (perp2 <= r2) & (a > 0) & (t_s >= 0.0) & (t_s <= t_max) & (t0 <= t_max)
+        t_s, ok_s = isect.sphere_quadratic(o_obj, d_obj, radius, t_max)
     else:
         t_s = jnp.full(o.shape[:-1], FLOAT_MAX)
         ok_s = jnp.zeros(o.shape[:-1], bool)

@@ -222,23 +222,44 @@ def _to_object(sph: SphereArrays, o, d):
     return o_obj, d_obj
 
 
-def sphere_intersect_t(o, d, t_max, sph: SphereArrays):
-    """Dense (N × S) sphere test → (t: (N,S), ok: (N,S))."""
-    o_obj, d_obj = _to_object(sph, o, d)
-    radius = sph.radius[None, :]
+def sphere_quadratic(o_obj, d_obj, radius, t_max):
+    """Solve |o + t d|² = r² with the reference's stable q-form
+    (sphere.rs:111-132 does this in f64; here the small root is recovered as
+    c/q so a ray spawned just OUTSIDE the sphere — c > 0 — can never produce
+    a spurious non-negative exit root, which TPU division/rsqrt rounding
+    otherwise causes; the discriminant uses the geometric perpendicular
+    distance, stable for grazing rays).
+
+    All args broadcastable; returns (t, ok) with the reference's root pick
+    (t0 if ≥ 0 else t1) and range tests.
+    """
     a = jnp.sum(d_obj * d_obj, axis=-1)
     safe_a = jnp.where(a == 0, 1.0, a)
-    t_center = -jnp.sum(o_obj * d_obj, axis=-1) / safe_a
+    b_half = jnp.sum(o_obj * d_obj, axis=-1)
+    c = jnp.sum(o_obj * o_obj, axis=-1) - radius * radius
+    t_center = -b_half / safe_a
     perp = o_obj + t_center[..., None] * d_obj
     perp2 = jnp.sum(perp * perp, axis=-1)
     r2 = radius * radius
     disc_ok = (perp2 <= r2) & (a > 0)
-    dt = jnp.sqrt(jnp.maximum((r2 - perp2) / safe_a, 0.0))
-    t0 = t_center - dt
-    t1 = t_center + dt
-    # reference accepts t0 if ≥0 else t1 (sphere.rs:33-40)
+    s = jnp.sqrt(jnp.maximum(a * (r2 - perp2), 0.0))
+    sgn = jnp.where(b_half >= 0, 1.0, -1.0)
+    q = -(b_half + sgn * s)
+    safe_q = jnp.where(q == 0, 1.0, q)
+    r1 = q / safe_a
+    r2_ = jnp.where(q == 0, r1, c / safe_q)
+    t0 = jnp.minimum(r1, r2_)
+    t1 = jnp.maximum(r1, r2_)
+    # reference accepts t0 if ≥0 else t1, rejects t0>t_max or t1<0
     t = jnp.where(t0 >= 0.0, t0, t1)
-    ok = disc_ok & (t >= 0.0) & (t <= t_max[:, None]) & (t0 <= t_max[:, None])
+    ok = disc_ok & (t0 <= t_max) & (t1 >= 0.0) & (t <= t_max)
+    return jnp.where(ok, t, FLOAT_MAX), ok
+
+
+def sphere_intersect_t(o, d, t_max, sph: SphereArrays):
+    """Dense (N × S) sphere test → (t: (N,S), ok: (N,S))."""
+    o_obj, d_obj = _to_object(sph, o, d)
+    t, ok = sphere_quadratic(o_obj, d_obj, sph.radius[None, :], t_max[:, None])
     ok = ok & (sph.prim[None, :] >= 0)
     return jnp.where(ok, t, FLOAT_MAX), ok
 
