@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float, gamma
 from curry_pbrt_tpu.ops import math as m
+from curry_pbrt_tpu.ops.math import safe_sqrt
 from curry_pbrt_tpu.ops.distribution import (
     Distribution2D,
     build_distribution_2d,
@@ -124,6 +125,17 @@ def _gather(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
+def types_present(lights: LightArrays):
+    """Static set of light types in the table (lights arrays are concrete
+    at trace time — they're scene constants, not traced args), used to skip
+    entire per-type branches and their (N,…) gathers."""
+    try:
+        return frozenset(int(t) for t in np.asarray(lights.type_id))
+    except Exception:  # traced (shouldn't happen) — keep all branches
+        return frozenset({TYPE_POINT, TYPE_DISTANT, TYPE_AREA_TRI,
+                          TYPE_AREA_SPH, TYPE_INFINITE})
+
+
 def sample_li(
     lights: LightArrays,
     env: Optional[EnvMap],
@@ -134,6 +146,7 @@ def sample_li(
 ) -> LightSample:
     """Vectorized Light::sample_li over per-ray chosen lights."""
     N = p.shape[0]
+    tp = types_present(lights)
     t = _gather(lights.type_id, light_idx)
     L = _gather(light_L, light_idx)  # (N,3)
 
@@ -148,122 +161,126 @@ def sample_li(
     unbounded = jnp.zeros((N,), bool)  # distant/infinite use o+d rays
 
     # ---- POINT (I/r²; delta)
-    lp = _gather(lights.vec, light_idx)
-    d = lp - p
-    d2 = m.length_sq(d)
-    sel = t == TYPE_POINT
-    wi_pt = m.normalize(d)
-    li_pt = L / jnp.maximum(d2, 1e-20)[:, None]
-    wi = jnp.where(sel[:, None], wi_pt, wi)
-    li = jnp.where(sel[:, None], li_pt, li)
-    pdf = jnp.where(sel, 1.0, pdf)
-    present = jnp.where(sel, True, present)
-    to_p = jnp.where(sel[:, None], lp, to_p)
-    to_n = jnp.where(sel[:, None], -wi_pt, to_n)  # normal unused (err=0)
+    if TYPE_POINT in tp:
+        lp = _gather(lights.vec, light_idx)
+        d = lp - p
+        d2 = m.length_sq(d)
+        sel = t == TYPE_POINT
+        wi_pt = m.normalize(d)
+        li_pt = L / jnp.maximum(d2, 1e-20)[:, None]
+        wi = jnp.where(sel[:, None], wi_pt, wi)
+        li = jnp.where(sel[:, None], li_pt, li)
+        pdf = jnp.where(sel, 1.0, pdf)
+        present = jnp.where(sel, True, present)
+        to_p = jnp.where(sel[:, None], lp, to_p)
+        to_n = jnp.where(sel[:, None], -wi_pt, to_n)  # normal unused (err=0)
 
     # ---- DISTANT (delta, unbounded visibility ray)
-    sel = t == TYPE_DISTANT
-    w = _gather(lights.vec, light_idx)
-    wi = jnp.where(sel[:, None], -w, wi)
-    li = jnp.where(sel[:, None], L, li)
-    pdf = jnp.where(sel, 1.0, pdf)
-    present = jnp.where(sel, True, present)
-    unbounded = unbounded | sel
+    if TYPE_DISTANT in tp:
+        sel = t == TYPE_DISTANT
+        w = _gather(lights.vec, light_idx)
+        wi = jnp.where(sel[:, None], -w, wi)
+        li = jnp.where(sel[:, None], L, li)
+        pdf = jnp.where(sel, 1.0, pdf)
+        present = jnp.where(sel, True, present)
+        unbounded = unbounded | sel
 
     # ---- AREA_TRI: uniform area sample → solid-angle pdf
-    sel = t == TYPE_AREA_TRI
-    p0 = _gather(lights.tri_p0, light_idx)
-    p1 = _gather(lights.tri_p1, light_idx)
-    p2 = _gather(lights.tri_p2, light_idx)
-    b = m.uniform_sample_triangle(u2)
-    b0, b1 = b[:, 0:1], b[:, 1:2]
-    b2 = 1.0 - b0 - b1
-    sp_p = b0 * p0 + b1 * p1 + b2 * p2
-    sp_n = m.normalize(m.cross(p0 - p2, p1 - p2))
-    sp_err = _G6 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
-    area = _gather(lights.area, light_idx)
-    wvec = sp_p - p
-    dist2 = m.length_sq(wvec)
-    # default_sample_by_point (shape/mod.rs:24-41): pdf_area·dist²/(-ŵ·n), no
-    # abs — replicated exactly; NaN/inf → 0
-    denom = -m.dot(m.normalize(wvec), sp_n)
-    pdf_tri = (1.0 / jnp.maximum(area, 1e-20)) * dist2 / jnp.where(denom == 0, 1.0, denom)
-    bad = (denom == 0) | (dist2 == 0) | jnp.isnan(pdf_tri) | jnp.isinf(pdf_tri)
-    pdf_tri = jnp.where(bad, 0.0, pdf_tri)
-    wi_tri = m.normalize(wvec)
-    wi = jnp.where(sel[:, None], wi_tri, wi)
-    li = jnp.where(sel[:, None], L, li)  # two-sided constant (area.rs:21-23)
-    pdf = jnp.where(sel, pdf_tri, pdf)
-    present = jnp.where(sel, dist2 > 0, present)
-    to_p = jnp.where(sel[:, None], sp_p, to_p)
-    to_n = jnp.where(sel[:, None], sp_n, to_n)
-    to_err = jnp.where(sel[:, None], sp_err, to_err)
+    if TYPE_AREA_TRI in tp:
+        sel = t == TYPE_AREA_TRI
+        p0 = _gather(lights.tri_p0, light_idx)
+        p1 = _gather(lights.tri_p1, light_idx)
+        p2 = _gather(lights.tri_p2, light_idx)
+        b = m.uniform_sample_triangle(u2)
+        b0, b1 = b[:, 0:1], b[:, 1:2]
+        b2 = 1.0 - b0 - b1
+        sp_p = b0 * p0 + b1 * p1 + b2 * p2
+        sp_n = m.normalize(m.cross(p0 - p2, p1 - p2))
+        sp_err = _G6 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
+        area = _gather(lights.area, light_idx)
+        wvec = sp_p - p
+        dist2 = m.length_sq(wvec)
+        # default_sample_by_point (shape/mod.rs:24-41): pdf_area·dist²/(-ŵ·n), no
+        # abs — replicated exactly; NaN/inf → 0
+        denom = -m.dot(m.normalize(wvec), sp_n)
+        pdf_tri = (1.0 / jnp.maximum(area, 1e-20)) * dist2 / jnp.where(denom == 0, 1.0, denom)
+        bad = (denom == 0) | (dist2 == 0) | jnp.isnan(pdf_tri) | jnp.isinf(pdf_tri)
+        pdf_tri = jnp.where(bad, 0.0, pdf_tri)
+        wi_tri = m.normalize(wvec)
+        wi = jnp.where(sel[:, None], wi_tri, wi)
+        li = jnp.where(sel[:, None], L, li)  # two-sided constant (area.rs:21-23)
+        pdf = jnp.where(sel, pdf_tri, pdf)
+        present = jnp.where(sel, dist2 > 0, present)
+        to_p = jnp.where(sel[:, None], sp_p, to_p)
+        to_n = jnp.where(sel[:, None], sp_n, to_n)
+        to_err = jnp.where(sel[:, None], sp_err, to_err)
 
     # ---- AREA_SPH: cone sampling from outside (sphere.rs:66-95), uniform
     # sphere + reprojection inside
-    sel = t == TYPE_AREA_SPH
-    w2o = _gather(lights.sph_w2o, light_idx)
-    o2w = _gather(lights.sph_o2w, light_idx)
-    radius = _gather(lights.sph_radius, light_idx)
-    p_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p) + w2o[:, :3, 3]
-    dist2_o = m.length_sq(p_obj)
-    r2 = radius * radius
-    outside = dist2_o > r2
+    if TYPE_AREA_SPH in tp:
+        sel = t == TYPE_AREA_SPH
+        w2o = _gather(lights.sph_w2o, light_idx)
+        o2w = _gather(lights.sph_o2w, light_idx)
+        radius = _gather(lights.sph_radius, light_idx)
+        p_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p) + w2o[:, :3, 3]
+        dist2_o = m.length_sq(p_obj)
+        r2 = radius * radius
+        outside = dist2_o > r2
 
-    # outside: cone sample
-    dist = jnp.sqrt(jnp.maximum(dist2_o, 1e-20))
-    z_ax = p_obj / dist[:, None]
-    x_ax, y_ax = m.coordinate_system(z_ax)
-    sin2_max = r2 / jnp.maximum(dist2_o, 1e-20)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-    cos_t = (1.0 - u2[:, 0]) + u2[:, 0] * cos_max
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    phi = u2[:, 1] * 2.0 * np.pi
-    ds = dist * cos_t - jnp.sqrt(jnp.maximum(r2 - dist2_o * sin_t * sin_t, 0.0))
-    cos_a = (dist2_o + r2 - ds * ds) / (2.0 * dist * jnp.maximum(radius, 1e-20))
-    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    dvec = (
-        cos_a[:, None] * z_ax
-        + (sin_a * jnp.cos(phi))[:, None] * x_ax
-        + (sin_a * jnp.sin(phi))[:, None] * y_ax
-    )
-    sp_obj_out = dvec * radius[:, None]
-    n_obj_out = dvec
-    pdf_out = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cos_max, 1e-12))
+        # outside: cone sample
+        dist = jnp.sqrt(jnp.maximum(dist2_o, 1e-20))
+        z_ax = p_obj / dist[:, None]
+        x_ax, y_ax = m.coordinate_system(z_ax)
+        sin2_max = r2 / jnp.maximum(dist2_o, 1e-20)
+        cos_max = safe_sqrt(1.0 - sin2_max)
+        cos_t = (1.0 - u2[:, 0]) + u2[:, 0] * cos_max
+        sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+        phi = u2[:, 1] * 2.0 * np.pi
+        ds = dist * cos_t - safe_sqrt(r2 - dist2_o * sin_t * sin_t)
+        cos_a = (dist2_o + r2 - ds * ds) / (2.0 * dist * jnp.maximum(radius, 1e-20))
+        sin_a = safe_sqrt(1.0 - cos_a * cos_a)
+        dvec = (
+            cos_a[:, None] * z_ax
+            + (sin_a * jnp.cos(phi))[:, None] * x_ax
+            + (sin_a * jnp.sin(phi))[:, None] * y_ax
+        )
+        sp_obj_out = dvec * radius[:, None]
+        n_obj_out = dvec
+        pdf_out = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cos_max, 1e-12))
 
-    # inside: uniform full-sphere area sample, solid-angle reprojection
-    d_in = m.uniform_sample_hemisphere(u2)  # full sphere (see ops.math)
-    sp_obj_in = d_in * radius[:, None]
-    n_obj_in = d_in
-    wvec_o = sp_obj_in - p_obj
-    denom_in = -m.dot(m.normalize(wvec_o), n_obj_in)
-    pdf_in = (
-        (1.0 / jnp.maximum(4.0 * np.pi * r2, 1e-20))
-        * m.length_sq(wvec_o)
-        / jnp.where(denom_in == 0, 1.0, denom_in)
-    )
-    pdf_in = jnp.where(
-        (denom_in == 0) | jnp.isnan(pdf_in) | jnp.isinf(pdf_in), 0.0, pdf_in
-    )
+        # inside: uniform full-sphere area sample, solid-angle reprojection
+        d_in = m.uniform_sample_hemisphere(u2)  # full sphere (see ops.math)
+        sp_obj_in = d_in * radius[:, None]
+        n_obj_in = d_in
+        wvec_o = sp_obj_in - p_obj
+        denom_in = -m.dot(m.normalize(wvec_o), n_obj_in)
+        pdf_in = (
+            (1.0 / jnp.maximum(4.0 * np.pi * r2, 1e-20))
+            * m.length_sq(wvec_o)
+            / jnp.where(denom_in == 0, 1.0, denom_in)
+        )
+        pdf_in = jnp.where(
+            (denom_in == 0) | jnp.isnan(pdf_in) | jnp.isinf(pdf_in), 0.0, pdf_in
+        )
 
-    sp_obj = jnp.where(outside[:, None], sp_obj_out, sp_obj_in)
-    n_obj = jnp.where(outside[:, None], n_obj_out, n_obj_in)
-    pdf_sph = jnp.where(outside, pdf_out, pdf_in)
-    sp_w, sn_w, serr_w = transform_shape_point(o2w, w2o, sp_obj, n_obj)
-    wvec = sp_w - p
-    dist2w = m.length_sq(wvec)
-    wi_sph = m.normalize(wvec)
-    ok_sph = (dist2w > 0) & (pdf_sph != 0)
-    wi = jnp.where(sel[:, None], wi_sph, wi)
-    li = jnp.where(sel[:, None], L, li)
-    pdf = jnp.where(sel, pdf_sph, pdf)
-    present = jnp.where(sel, ok_sph, present)
-    to_p = jnp.where(sel[:, None], sp_w, to_p)
-    to_n = jnp.where(sel[:, None], sn_w, to_n)
-    to_err = jnp.where(sel[:, None], serr_w, to_err)
+        sp_obj = jnp.where(outside[:, None], sp_obj_out, sp_obj_in)
+        n_obj = jnp.where(outside[:, None], n_obj_out, n_obj_in)
+        pdf_sph = jnp.where(outside, pdf_out, pdf_in)
+        sp_w, sn_w, serr_w = transform_shape_point(o2w, w2o, sp_obj, n_obj)
+        wvec = sp_w - p
+        dist2w = m.length_sq(wvec)
+        wi_sph = m.normalize(wvec)
+        ok_sph = (dist2w > 0) & (pdf_sph != 0)
+        wi = jnp.where(sel[:, None], wi_sph, wi)
+        li = jnp.where(sel[:, None], L, li)
+        pdf = jnp.where(sel, pdf_sph, pdf)
+        present = jnp.where(sel, ok_sph, present)
+        to_p = jnp.where(sel[:, None], sp_w, to_p)
+        to_n = jnp.where(sel[:, None], sn_w, to_n)
+        to_err = jnp.where(sel[:, None], serr_w, to_err)
 
     # ---- INFINITE: env importance sample
-    if env is not None:
+    if env is not None and TYPE_INFINITE in tp:
         sel = t == TYPE_INFINITE
         uv, density = sample_2d_continuous(env.dist, u2)
         # rows=θ, cols=φ (consistent mapping; see module docstring)
@@ -342,44 +359,47 @@ def le_pdf(lights: LightArrays, light_idx, ref_p, hit_p, hit_n):
     sphere: cone pdf outside (sphere.rs:96-105), default inside.
     """
     N = ref_p.shape[0]
+    tp = types_present(lights)
     t = _gather(lights.type_id, jnp.maximum(light_idx, 0))
     pdf = jnp.zeros((N,), Float)
 
     # triangle default pdf
-    sel = t == TYPE_AREA_TRI
-    area = _gather(lights.area, jnp.maximum(light_idx, 0))
-    dvec = ref_p - hit_p
-    dist2 = m.length_sq(dvec)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
-    denom = jnp.abs(m.dot(dvec / dist[:, None], hit_n)) * area
-    pdf_tri = dist2 / jnp.where(denom == 0, 1.0, denom)
-    pdf_tri = jnp.where(
-        (denom == 0) | jnp.isnan(pdf_tri) | jnp.isinf(pdf_tri), 0.0, pdf_tri
-    )
-    pdf = jnp.where(sel, pdf_tri, pdf)
+    if TYPE_AREA_TRI in tp:
+        sel = t == TYPE_AREA_TRI
+        area = _gather(lights.area, jnp.maximum(light_idx, 0))
+        dvec = ref_p - hit_p
+        dist2 = m.length_sq(dvec)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        denom = jnp.abs(m.dot(dvec / dist[:, None], hit_n)) * area
+        pdf_tri = dist2 / jnp.where(denom == 0, 1.0, denom)
+        pdf_tri = jnp.where(
+            (denom == 0) | jnp.isnan(pdf_tri) | jnp.isinf(pdf_tri), 0.0, pdf_tri
+        )
+        pdf = jnp.where(sel, pdf_tri, pdf)
 
     # sphere
-    sel = t == TYPE_AREA_SPH
-    w2o = _gather(lights.sph_w2o, jnp.maximum(light_idx, 0))
-    radius = _gather(lights.sph_radius, jnp.maximum(light_idx, 0))
-    p_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], ref_p) + w2o[:, :3, 3]
-    dist2_o = m.length_sq(p_obj)
-    r2 = radius * radius
-    outside = dist2_o >= r2
-    sin2_max = r2 / jnp.maximum(dist2_o, 1e-20)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-    pdf_cone = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cos_max, 1e-12))
-    # inside: default pdf with object-space area
-    area_s = 4.0 * np.pi * r2
-    hp_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], hit_p) + w2o[:, :3, 3]
-    dvec_o = p_obj - hp_obj
-    dist2_i = m.length_sq(dvec_o)
-    dist_i = jnp.sqrt(jnp.maximum(dist2_i, 1e-20))
-    n_obj = m.normalize(hp_obj)
-    denom_i = jnp.abs(m.dot(dvec_o / dist_i[:, None], n_obj)) * area_s
-    pdf_in = dist2_i / jnp.where(denom_i == 0, 1.0, denom_i)
-    pdf_in = jnp.where((denom_i == 0) | jnp.isnan(pdf_in) | jnp.isinf(pdf_in), 0.0, pdf_in)
-    pdf_sph = jnp.where(outside, pdf_cone, pdf_in)
-    pdf = jnp.where(sel, pdf_sph, pdf)
+    if TYPE_AREA_SPH in tp:
+        sel = t == TYPE_AREA_SPH
+        w2o = _gather(lights.sph_w2o, jnp.maximum(light_idx, 0))
+        radius = _gather(lights.sph_radius, jnp.maximum(light_idx, 0))
+        p_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], ref_p) + w2o[:, :3, 3]
+        dist2_o = m.length_sq(p_obj)
+        r2 = radius * radius
+        outside = dist2_o >= r2
+        sin2_max = r2 / jnp.maximum(dist2_o, 1e-20)
+        cos_max = safe_sqrt(1.0 - sin2_max)
+        pdf_cone = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cos_max, 1e-12))
+        # inside: default pdf with object-space area
+        area_s = 4.0 * np.pi * r2
+        hp_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], hit_p) + w2o[:, :3, 3]
+        dvec_o = p_obj - hp_obj
+        dist2_i = m.length_sq(dvec_o)
+        dist_i = jnp.sqrt(jnp.maximum(dist2_i, 1e-20))
+        n_obj = m.normalize(hp_obj)
+        denom_i = jnp.abs(m.dot(dvec_o / dist_i[:, None], n_obj)) * area_s
+        pdf_in = dist2_i / jnp.where(denom_i == 0, 1.0, denom_i)
+        pdf_in = jnp.where((denom_i == 0) | jnp.isnan(pdf_in) | jnp.isinf(pdf_in), 0.0, pdf_in)
+        pdf_sph = jnp.where(outside, pdf_cone, pdf_in)
+        pdf = jnp.where(sel, pdf_sph, pdf)
 
     return jnp.where(light_idx >= 0, pdf, 0.0)

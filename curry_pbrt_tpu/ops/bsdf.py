@@ -81,10 +81,10 @@ def fresnel_dielectric(cos_i, eta_i, eta_t):
     ei = jnp.where(cos_i > 0, eta_i, eta_t)
     et = jnp.where(cos_i > 0, eta_t, eta_i)
     ci = jnp.abs(cos_i)
-    si = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 0.0))
+    si = m.safe_sqrt(1.0 - ci * ci)
     st = si * ei / et
     tir = st >= 1.0
-    ct = jnp.sqrt(jnp.maximum(1.0 - st * st, 0.0))
+    ct = m.safe_sqrt(1.0 - st * st)
     r_par = (et * ci - ei * ct) / (et * ci + ei * ct)
     r_perp = (ei * ci - et * ct) / (ei * ci + et * ct)
     fr = 0.5 * (r_par * r_par + r_perp * r_perp)
@@ -157,7 +157,7 @@ def tr_sample_wh(wo, u, ax, ay):
     sy_n = r_n * jnp.sin(phi_n)
 
     # general branch
-    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - cti * cti))
+    st = m.safe_sqrt(1.0 - cti * cti)
     tan_t = st / jnp.where(cti == 0, 1.0, cti)
     a = 1.0 / jnp.where(tan_t == 0, 1.0, tan_t)
     g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
@@ -165,7 +165,7 @@ def tr_sample_wh(wo, u, ax, ay):
     tmp = 1.0 / jnp.where(A * A - 1.0 == 0, 1e-10, A * A - 1.0)
     tmp = jnp.minimum(tmp, 1e10)
     B = tan_t
-    D = jnp.sqrt(jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0))
+    D = m.safe_sqrt(B * B * tmp * tmp - (A * A - B * B) * tmp)
     sx1 = B * tmp - D
     sx2 = B * tmp + D
     sx_g = jnp.where((A < 0) | (sx2 > 1.0 / jnp.where(tan_t == 0, 1e-12, tan_t)), sx1, sx2)

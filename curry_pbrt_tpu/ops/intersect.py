@@ -242,7 +242,8 @@ def sphere_quadratic(o_obj, d_obj, radius, t_max):
     perp2 = jnp.sum(perp * perp, axis=-1)
     r2 = radius * radius
     disc_ok = (perp2 <= r2) & (a > 0)
-    s = jnp.sqrt(jnp.maximum(a * (r2 - perp2), 0.0))
+    from curry_pbrt_tpu.ops.math import safe_sqrt as _ss
+    s = _ss(a * (r2 - perp2))
     sgn = jnp.where(b_half >= 0, 1.0, -1.0)
     q = -(b_half + sgn * s)
     safe_q = jnp.where(q == 0, 1.0, q)

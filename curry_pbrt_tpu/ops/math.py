@@ -8,6 +8,7 @@ XLA fuses onto the VPU; nothing here allocates per-ray Python objects.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from curry_pbrt_tpu.dtypes import INV_PI, PI
@@ -32,8 +33,22 @@ def length(v):
     return jnp.sqrt(length_sq(v))
 
 
+def safe_sqrt(x):
+    """sqrt clamped at 0 with a NaN-free gradient at the clamp.
+
+    `sqrt(max(x, 0))` has backward `0 · ∞ = NaN` exactly at 0 — and masked
+    SoA lanes sit exactly at 0 — so route the gradient through a dummy
+    branch instead (double-where)."""
+    safe = jnp.where(x <= 0.0, 1.0, x)
+    return jnp.where(x <= 0.0, 0.0, jnp.sqrt(safe))
+
+
 def normalize(v):
-    return v / jnp.maximum(length(v)[..., None], jnp.float32(1e-30))
+    """Unit vector; zero vectors (masked lanes) map to zero with zero — not
+    NaN — gradients."""
+    l2 = length_sq(v)
+    safe = jnp.where(l2 == 0.0, 1.0, l2)
+    return v * jax.lax.rsqrt(safe)[..., None]
 
 
 def lerp(t, a, b):
@@ -57,7 +72,9 @@ def coordinate_system(z):
     """
     zx, zy, zz = z[..., 0], z[..., 1], z[..., 2]
     use_x = jnp.abs(zx) > jnp.abs(zy)
-    inv_a = 1.0 / jnp.sqrt(jnp.where(use_x, zx * zx + zz * zz, zy * zy + zz * zz))
+    denom = jnp.where(use_x, zx * zx + zz * zz, zy * zy + zz * zz)
+    # zero z (masked miss lanes) → zero frame, never inf/NaN
+    inv_a = jax.lax.rsqrt(jnp.where(denom == 0.0, 1.0, denom))
     x_a = jnp.stack([-zz, jnp.zeros_like(zx), zx], axis=-1)
     x_b = jnp.stack([jnp.zeros_like(zx), zz, -zy], axis=-1)
     x = jnp.where(use_x[..., None], x_a, x_b) * inv_a[..., None]
@@ -93,7 +110,7 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return safe_sqrt(sin2_theta(w))
 
 
 def tan_theta(w):
@@ -138,9 +155,11 @@ def cos_delta_phi(wa, wb):
 
 
 def power_heuristic(f, g):
-    """β=2 power heuristic. Reference math/mod.rs:32-34."""
+    """β=2 power heuristic. Reference math/mod.rs:32-34. 0/0 → 0 (masked
+    lanes feed f = g = 0; a NaN here poisons gradients through the mask)."""
     f2 = f * f
-    return f2 / (f2 + g * g)
+    denom = f2 + g * g
+    return jnp.where(denom == 0.0, 0.0, f2 / jnp.where(denom == 0.0, 1.0, denom))
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +189,7 @@ def uniform_sample_hemisphere(u):
     FULL sphere despite the name — math/mod.rs:111-116; sphere area sampling
     relies on that)."""
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -178,7 +197,7 @@ def uniform_sample_hemisphere(u):
 def cosine_sample_hemisphere(u):
     """u: (..., 2) → (w: (...,3), pdf: (...))."""
     d = concentric_sample_disk(u)
-    z = jnp.sqrt(jnp.maximum(1.0 - length_sq(d), 0.0))
+    z = safe_sqrt(1.0 - length_sq(d))
     w = jnp.concatenate([d, z[..., None]], axis=-1)
     return w, z * INV_PI
 
@@ -232,7 +251,7 @@ def refract(wo, n, eta):
     sin2_theta_o = 1.0 - cos_theta_o * cos_theta_o
     sin2_theta_i = sin2_theta_o * eta * eta
     ok = sin2_theta_i <= 1.0
-    cos_theta_i = jnp.sqrt(jnp.maximum(1.0 - sin2_theta_i, 0.0))
+    cos_theta_i = safe_sqrt(1.0 - sin2_theta_i)
     wi = eta[..., None] * (-wo) + (eta * cos_theta_o - cos_theta_i)[..., None] * n
     return wi, ok
 

@@ -50,7 +50,7 @@ def render_chunk_sharded(plan, mesh: Mesh, params, pix_offsets, pix_xy):
         mesh=mesh,
         in_specs=(P(), P("rays"), P("rays")),
         out_specs=P("rays"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, pix_offsets, pix_xy)
 
@@ -87,7 +87,7 @@ def make_sharded_train_step(plan, mesh: Mesh, optimizer, param_labels=None):
         mesh=mesh,
         in_specs=(P(), P("rays"), P("rays"), P("rays")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -112,7 +112,9 @@ def plan_render(
     perms = make_permutations(cfg.seed)
     offs = compute_pixel_offsets(cfg)[:yres, :xres]
     if chunk_pixels is None:
-        target_rays = 1 << 17
+        # ~32k rays/chunk keeps the unrolled depth-loop's live buffers well
+        # inside HBM (the 512²·64spp Cornell peaks ~4.7GB at this size)
+        target_rays = 1 << 15
         chunk_pixels = max(min(target_rays // max(spp, 1), xres * yres), 256)
     dim_base = 4 if scene.camera.has_lens else 2
     return RenderPlan(

@@ -97,7 +97,7 @@ class TestShardedTraining:
         fn = shard_map(
             device_loss, mesh=mesh,
             in_specs=(P(), P("rays"), P("rays"), P("rays")), out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         g_shard = jax.grad(lambda p: fn(p, target, po, px))(scene.init_params)
         np.testing.assert_allclose(
