@@ -21,7 +21,9 @@ def main(argv=None):
     ap.add_argument("--res", type=int, nargs=2, metavar=("X", "Y"), help="resolution override")
     ap.add_argument("--max-depth", type=int, help="path depth override")
     ap.add_argument("--integrator", choices=["path", "directlighting"])
-    ap.add_argument("--intersector", choices=["brute", "bvh"], help="force a backend")
+    ap.add_argument(
+        "--intersector", choices=["brute", "bvh", "pallas"], help="force a backend"
+    )
     ap.add_argument("--seed", type=int, default=0, help="sampler scramble seed")
     ap.add_argument("--no-clip", action="store_true", help="disable camera frustum culling")
     ap.add_argument("--chunk-pixels", type=int, help="pixels per device batch")

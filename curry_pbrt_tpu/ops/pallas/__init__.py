@@ -9,3 +9,6 @@ from curry_pbrt_tpu.ops.pallas.intersect_kernel import (  # noqa: F401
     tri_closest_hit_pallas,
     tri_any_hit_pallas,
 )
+from curry_pbrt_tpu.ops.pallas.aggregate import (  # noqa: F401
+    make_pallas_intersectors,
+)

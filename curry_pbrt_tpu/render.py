@@ -53,6 +53,10 @@ def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.Sha
 
         bvh = build_flat_bvh(scene)
         inter, pred = make_bvh_intersectors(bvh, tris, sph)
+    elif backend == "pallas":
+        from curry_pbrt_tpu.ops.pallas.aggregate import make_pallas_intersectors
+
+        inter, pred = make_pallas_intersectors(tris, sph)
     else:
         raise ValueError(f"unknown intersector {backend!r}")
 

@@ -71,6 +71,14 @@ class TestCornellGolden:
         # same hits, same shading — tiny fp differences from traversal order
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
+    def test_pallas_matches_brute_end_to_end(self):
+        scene = compile_scene_file(
+            CORNELL, overrides={"resolution": (24, 24), "spp": 2, "max_depth": 2}
+        )
+        a = render_scene(scene, show_progress=False, intersector="brute")
+        b = render_scene(scene, show_progress=False, intersector="pallas")
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
 
 class TestSphereSceneGolden:
     def test_reference_sphere_scene(self):
