@@ -157,7 +157,7 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
         ctx.lights, ctx.env, light_L, light_idx, p, n, perr,
         jnp.stack([u["light_u"], u["light_v"]], axis=-1),
     )
-    chosen_delta = jnp.take(ctx.lights.is_delta, light_idx)
+    chosen_delta = m.take_small(ctx.lights.is_delta, light_idx)
 
     # --- light strategy
     wi_l = m.to_local(ls.wi, fx, fy, fz)
@@ -180,7 +180,7 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
     wi2 = m.to_world(wi2_l, fx, fy, fz)
     o2 = offset_point_by_error(p, n, perr, wi2)
     hit2 = ctx.intersect(o2, wi2, jnp.full((N,), FLOAT_MAX))
-    hit2_light = jnp.take(ctx.prim_light, jnp.maximum(hit2.prim, 0))
+    hit2_light = m.take_small(ctx.prim_light, jnp.maximum(hit2.prim, 0))
     hit2_light = jnp.where(hit2.prim >= 0, hit2_light, -1)
     same_light = (hit2_light >= 0) & (hit2_light == light_idx)
     li2 = LT.le_emitted(light_L, jnp.where(same_light, light_idx, -1))
@@ -193,8 +193,8 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
     ok_hit = same_light & (li2_pdf != 0)
 
     if ctx.env is not None:
-        chosen_inf = jnp.take(ctx.lights.type_id, light_idx) == LT.TYPE_INFINITE
-        le3 = LT.eval_env(ctx.env, wi2) * jnp.take(light_L, light_idx, axis=0)
+        chosen_inf = m.take_small(ctx.lights.type_id, light_idx) == LT.TYPE_INFINITE
+        le3 = LT.eval_env(ctx.env, wi2) * m.take_small(light_L, light_idx)
         le3_pdf = LT.env_out_scene_pdf(ctx.env, wi2)
         ld_esc = le3 * f2 * (cos2 * m.power_heuristic(f2_pdf, le3_pdf) / safe_f2_pdf)[:, None]
         ok_esc = (hit2.prim < 0) & chosen_inf & (le3_pdf != 0)
@@ -275,7 +275,7 @@ def path_trace(
         )
 
     def emission(L, beta, gate, hit, d):
-        hit_light = jnp.take(ctx.prim_light, jnp.maximum(hit.prim, 0))
+        hit_light = m.take_small(ctx.prim_light, jnp.maximum(hit.prim, 0))
         hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
         le = LT.le_emitted(light_L, jnp.where(gate, hit_light, -1))
         L = L + beta * le
@@ -291,13 +291,13 @@ def path_trace(
         gate = active & ((bounce == 0) | specular)
         L = emission(L, beta, gate, hit, d)
 
-        mat_ids = jnp.take(ctx.prim_mat, jnp.maximum(hit.prim, 0))
+        mat_ids = m.take_small(ctx.prim_mat, jnp.maximum(hit.prim, 0))
         mat_ids = jnp.where(hit.prim >= 0, mat_ids, -1)
         active = active & hit.valid & (mat_ids >= 0)  # (path.rs:30-34,64)
 
         frame = _shading_frame(hit.n)
         wo = -d
-        is_all_delta = jnp.take(mat_all_delta, jnp.maximum(mat_ids, 0))
+        is_all_delta = m.take_small(mat_all_delta, jnp.maximum(mat_ids, 0))
 
         nee = uniform_sample_one_light(ctx, params, hit, mat_ids, wo, frame, u)
         shaded = active & ~is_all_delta
@@ -374,9 +374,9 @@ def direct_light_trace(
         N = o.shape[0]
         out = jnp.zeros((N, 3), Float)
         hit = ctx.intersect(o, d, jnp.full((N,), FLOAT_MAX))
-        hit_light = jnp.take(ctx.prim_light, jnp.maximum(hit.prim, 0))
+        hit_light = m.take_small(ctx.prim_light, jnp.maximum(hit.prim, 0))
         hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
-        mat_ids = jnp.take(ctx.prim_mat, jnp.maximum(hit.prim, 0))
+        mat_ids = m.take_small(ctx.prim_mat, jnp.maximum(hit.prim, 0))
         mat_ids = jnp.where(hit.prim >= 0, mat_ids, -1)
         has_mat = hit.valid & (mat_ids >= 0) & live
 

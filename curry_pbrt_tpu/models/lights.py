@@ -122,7 +122,7 @@ def build_env_distribution(image: np.ndarray) -> Distribution2D:
 
 
 def _gather(arr, idx):
-    return jnp.take(arr, idx, axis=0)
+    return m.take_small(arr, idx)
 
 
 def types_present(lights: LightArrays):
@@ -347,7 +347,7 @@ def le_emitted(light_L, light_idx):
     """Surface emission of a hit area-light primitive — two-sided constant L
     (area.rs:21-23). light_idx: (N,) (−1 → none)."""
     safe = jnp.maximum(light_idx, 0)
-    L = jnp.take(light_L, safe, axis=0)
+    L = m.take_small(light_L, safe)
     return jnp.where((light_idx >= 0)[:, None], L, 0.0)
 
 

@@ -161,7 +161,8 @@ def scrambled_radical_inverse(x, dim: int, perms):
     """
     base = PRIMES[dim]
     off = int(PRIME_OFFSETS[dim])
-    perm = jnp.asarray(perms[off : off + base], dtype=jnp.int32)
+    permf = jnp.asarray(perms[off : off + base], dtype=Float)  # (base,)
+    iota = jnp.arange(base, dtype=jnp.uint32)
     b = jnp.uint32(base)
     r = jnp.zeros(x.shape, dtype=Float)
     w = Float(1.0 / base)
@@ -170,13 +171,17 @@ def scrambled_radical_inverse(x, dim: int, perms):
         nz = x != 0
         digit = x % b
         x = x // b
-        pd = jnp.take(perm, digit.astype(jnp.int32)).astype(Float)
+        # permutation lookup as a one-hot contraction — a (N,)-lane gather
+        # from a tiny table serializes on TPU; the compare+select sum is VPU
+        pd = jnp.sum(
+            jnp.where(digit[..., None] == iota, permf, Float(0.0)), axis=-1
+        )
         r = jnp.where(nz, r + pd * w, r)
         digit_count = jnp.where(nz, digit_count + 1, digit_count)
         w = w * Float(1.0 / base)
     inv_base = Float(1.0 / base)
     inv_base_n = jnp.power(Float(base), -digit_count.astype(Float))
-    tail = inv_base * perm[0].astype(Float) / (1.0 - inv_base)
+    tail = inv_base * Float(float(np.asarray(perms[off]))) / (1.0 - inv_base)
     return r + inv_base_n * tail
 
 

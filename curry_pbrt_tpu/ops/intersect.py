@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float, gamma
-from curry_pbrt_tpu.ops.math import cross, dot, length, length_sq, normalize
+from curry_pbrt_tpu.ops.math import cross, dot, length, length_sq, normalize, take_small
 
 _G2 = gamma(2)
 _G3 = gamma(3)
@@ -94,35 +94,50 @@ def empty_spheres() -> SphereArrays:
 # watertight triangle test
 
 
-def _permutation_indices(d):
-    """kz = argmax |d|, kx = kz+1 mod 3, ky = kx+1 mod 3. d: (N,3) → (N,3) i32."""
-    ad = jnp.abs(d)
-    kz = jnp.argmax(ad, axis=-1).astype(jnp.int32)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-    return jnp.stack([kx, ky, kz], axis=-1)
+def _argmax3(ad):
+    """First-max index over the last (size-3) axis, via compares — a gather
+    of axis size 3 across millions of lanes lowers to per-element dynamic
+    indexing on TPU (≈100× slower than these selects)."""
+    ax, ay, az = ad[..., 0], ad[..., 1], ad[..., 2]
+    return jnp.where(
+        (ax >= ay) & (ax >= az),
+        jnp.int32(0),
+        jnp.where(ay >= az, jnp.int32(1), jnp.int32(2)),
+    )
 
 
-def watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2):
+def _select_by_kz(kz, a, b, c):
+    return jnp.where(kz == 0, a, jnp.where(kz == 1, b, c))
+
+
+def permute_by_kz(v, kz):
+    """Return components (v[kx], v[ky], v[kz]) with kx=(kz+1)%3,
+    ky=(kz+2)%3 — the watertight test's axis permutation
+    (triangle.rs:199-205), computed with 3-way selects instead of gathers.
+    v: (...,3); kz: broadcastable (...) i32."""
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return (
+        _select_by_kz(kz, v1, v2, v0),
+        _select_by_kz(kz, v2, v0, v1),
+        _select_by_kz(kz, v0, v1, v2),
+    )
+
+
+def watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2):
     """Watertight Möller test on broadcast-compatible batches.
 
-    o: (..., 3) ray origins; perm: (..., 3) axis permutation (from
-    `_permutation_indices(d)`); sx/sy/sz: (...) shear factors; t_max: (...);
+    o: (..., 3) ray origins; kz: (...) i32 dominant ray axis (from
+    `ray_shear`); sx/sy/sz: (...) shear factors; t_max: (...);
     p0/p1/p2: (..., 3) triangle vertices (broadcast against the ray dims).
     Returns (t, b: (...,3) barycentrics, ok).
     """
     def prep(v):
-        t = v - o
-        return jnp.take_along_axis(
-            jnp.broadcast_to(t, jnp.broadcast_shapes(t.shape, perm.shape)),
-            jnp.broadcast_to(perm, jnp.broadcast_shapes(t.shape, perm.shape)),
-            axis=-1,
-        )
+        return permute_by_kz(v - o, kz)
 
     p0t, p1t, p2t = prep(p0), prep(p1), prep(p2)
 
     def shear_xy(p):
-        return p[..., 0] + sx * p[..., 2], p[..., 1] + sy * p[..., 2]
+        return p[0] + sx * p[2], p[1] + sy * p[2]
 
     x0, y0 = shear_xy(p0t)
     x1, y1 = shear_xy(p1t)
@@ -132,9 +147,9 @@ def watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2):
     e2 = x0 * y1 - y0 * x1
     same_side = ~(((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
     det = e0 + e1 + e2
-    z0 = p0t[..., 2] * sz
-    z1 = p1t[..., 2] * sz
-    z2 = p2t[..., 2] * sz
+    z0 = p0t[2] * sz
+    z1 = p1t[2] * sz
+    z2 = p2t[2] * sz
     t_scaled = e0 * z0 + e1 * z1 + e2 * z2
     in_range = jnp.where(
         det < 0,
@@ -164,12 +179,11 @@ def watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2):
 
 
 def ray_shear(d):
-    """Precompute (perm, sx, sy, sz) for the watertight test. d: (N,3)."""
-    perm = _permutation_indices(d)
-    dp = jnp.take_along_axis(d, perm, axis=-1)
-    dz = dp[..., 2]
+    """Precompute (kz, sx, sy, sz) for the watertight test. d: (N,3)."""
+    kz = _argmax3(jnp.abs(d))
+    dx, dy, dz = permute_by_kz(d, kz)
     dz = jnp.where(dz == 0, 1.0, dz)  # degenerate (masked) lanes only
-    return perm, -dp[..., 0] / dz, -dp[..., 1] / dz, 1.0 / dz
+    return kz, -dx / dz, -dy / dz, 1.0 / dz
 
 
 def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
@@ -179,9 +193,9 @@ def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
     Attribute reconstruction happens separately on the winner (see
     `triangle_hit_attributes`) to keep the O(N·T) working set small.
     """
-    perm, sx, sy, sz = ray_shear(d)
+    kz, sx, sy, sz = ray_shear(d)
     t, b, ok = watertight_core(
-        o[:, None, :], perm[:, None, :], sx[:, None], sy[:, None], sz[:, None],
+        o[:, None, :], kz[:, None], sx[:, None], sy[:, None], sz[:, None],
         t_max[:, None], tris.p0[None], tris.p1[None], tris.p2[None],
     )
     ok = ok & (tris.prim[None, :] >= 0)
@@ -195,9 +209,9 @@ def triangle_hit_attributes(tri_idx, b, tris: TriangleArrays):
     (0,0),(1,0),(1,1) — the reference's parsers never populate uvs
     (triangle.rs:69-77).
     """
-    p0 = jnp.take(tris.p0, tri_idx, axis=0)
-    p1 = jnp.take(tris.p1, tri_idx, axis=0)
-    p2 = jnp.take(tris.p2, tri_idx, axis=0)
+    p0 = take_small(tris.p0, tri_idx)
+    p1 = take_small(tris.p1, tri_idx)
+    p2 = take_small(tris.p2, tri_idx)
     b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
     p = b0 * p0 + b1 * p1 + b2 * p2
     n = normalize(cross(p0 - p2, p1 - p2))
@@ -269,9 +283,9 @@ def sphere_hit_attributes(sph_idx, t, o, d, sph: SphereArrays):
     """Hit attributes for per-ray winning spheres (object-space reproject +
     γ₅ error, uv from spherical — sphere.rs:14-18,41-52 — then transformed
     to world with the ShapePoint error bound, shape/mod.rs:135-160)."""
-    w2o = jnp.take(sph.w2o, sph_idx, axis=0)  # (N,4,4)
-    o2w = jnp.take(sph.o2w, sph_idx, axis=0)
-    radius = jnp.take(sph.radius, sph_idx)
+    w2o = take_small(sph.w2o, sph_idx)  # (N,4,4)
+    o2w = take_small(sph.o2w, sph_idx)
+    radius = take_small(sph.radius, sph_idx)
     o_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o) + w2o[:, :3, 3]
     d_obj = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d)
     p_obj = o_obj + t[:, None] * d_obj
@@ -355,14 +369,18 @@ def intersect_brute(
     if have_tris:
         tt, tb, tok = triangle_intersect_t(o, d, t_max, tris)
         tri_best = jnp.argmin(tt, axis=-1).astype(jnp.int32)
-        tri_t = jnp.take_along_axis(tt, tri_best[:, None], axis=-1)[:, 0]
-        tri_b = jnp.take_along_axis(tb, tri_best[:, None, None], axis=-1 - 1)[:, 0, :]
-        tri_hit = jnp.take_along_axis(tok, tri_best[:, None], axis=-1)[:, 0]
+        # winner extraction via one-hot reductions (take_along_axis on the
+        # minor axis is a per-element gather on TPU)
+        oh_t = jnp.arange(tt.shape[1], dtype=jnp.int32)[None, :] == tri_best[:, None]
+        tri_t = jnp.min(tt, axis=-1)
+        tri_b = jnp.sum(tb * oh_t[..., None], axis=1)
+        tri_hit = jnp.any(tok & oh_t, axis=-1)
     if have_sph:
         st, sok = sphere_intersect_t(o, d, t_max, sph)
         sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
-        sph_t = jnp.take_along_axis(st, sph_best[:, None], axis=-1)[:, 0]
-        sph_hit = jnp.take_along_axis(sok, sph_best[:, None], axis=-1)[:, 0]
+        oh_s = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
+        sph_t = jnp.min(st, axis=-1)
+        sph_hit = jnp.any(sok & oh_s, axis=-1)
 
     p = jnp.zeros((n_rays, 3), Float)
     n = jnp.zeros((n_rays, 3), Float)
@@ -390,7 +408,7 @@ def intersect_brute(
         uv = jnp.where(use_tri[:, None], tuv, uv)
         p_error = jnp.where(m, terr, p_error)
         t_out = jnp.where(use_tri, tri_t, t_out)
-        hit_prim = jnp.where(use_tri, jnp.take(tris.prim, tri_best), hit_prim)
+        hit_prim = jnp.where(use_tri, take_small(tris.prim, tri_best), hit_prim)
     if have_sph:
         sp, sn, suv, serr = sphere_hit_attributes(sph_best, sph_t, o, d, sph)
         m = use_sph[:, None]
@@ -399,7 +417,7 @@ def intersect_brute(
         uv = jnp.where(use_sph[:, None], suv, uv)
         p_error = jnp.where(m, serr, p_error)
         t_out = jnp.where(use_sph, sph_t, t_out)
-        hit_prim = jnp.where(use_sph, jnp.take(sph.prim, sph_best), hit_prim)
+        hit_prim = jnp.where(use_sph, take_small(sph.prim, sph_best), hit_prim)
 
     return Hit(t_out, hit_prim, p, n, uv, p_error)
 

@@ -17,6 +17,27 @@ from curry_pbrt_tpu.dtypes import INV_PI, PI
 # small vector helpers
 
 
+def take_small(table, idx, *, max_onehot: int = 256):
+    """Row-gather `table[idx]` specialized for SMALL tables.
+
+    A per-lane dynamic gather serializes on the TPU VPU; for tables up to a
+    few hundred rows, a one-hot compare + masked sum is ~100× faster and
+    exact (selects never touch the values). Falls back to jnp.take above
+    `max_onehot` rows. idx must already be in-range (clip before calling).
+    Result shape: idx.shape + table.shape[1:].
+    """
+    K = table.shape[0]
+    if K == 0 or K > max_onehot:
+        return jnp.take(table, idx, axis=0)
+    if K == 1:
+        return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    oh = idx[..., None] == jnp.arange(K, dtype=idx.dtype)  # (..., K)
+    ohx = oh.reshape(oh.shape + (1,) * (table.ndim - 1))
+    if table.dtype == jnp.bool_:
+        return jnp.any(ohx & table, axis=idx.ndim)
+    return jnp.sum(jnp.where(ohx, table, table.dtype.type(0)), axis=idx.ndim)
+
+
 def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 

@@ -51,8 +51,9 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         if have_sph:
             st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
             sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
-            sph_t = jnp.take_along_axis(st, sph_best[:, None], axis=-1)[:, 0]
-            sph_hit = jnp.take_along_axis(sok, sph_best[:, None], axis=-1)[:, 0]
+            oh_s = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
+            sph_t = jnp.min(st, axis=-1)
+            sph_hit = jnp.any(sok & oh_s, axis=-1)
 
         if have_tris and have_sph:
             use_tri = tri_hit & (~sph_hit | (tri_t <= sph_t))

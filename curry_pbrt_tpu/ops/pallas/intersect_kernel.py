@@ -56,17 +56,12 @@ def pack_rays(o, d, t_max) -> jnp.ndarray:
     Mirrors ops/intersect.py:ray_shear — kz = argmax |d| (permutation),
     shear maps the ray to +z.
     """
+    from curry_pbrt_tpu.ops.intersect import ray_shear
+
     n = o.shape[0]
-    ad = jnp.abs(d)
-    kz = jnp.argmax(ad, axis=-1).astype(jnp.int32)
+    kz, sx, sy, sz = ray_shear(d)
     kx = (kz + 1) % 3
     ky = (kx + 1) % 3
-    perm = jnp.stack([kx, ky, kz], axis=-1)
-    dp = jnp.take_along_axis(d, perm, axis=-1)
-    dz = jnp.where(dp[:, 2] == 0, 1.0, dp[:, 2])
-    sx = -dp[:, 0] / dz
-    sy = -dp[:, 1] / dz
-    sz = 1.0 / dz
     rows = jnp.stack(
         [
             o[:, 0], o[:, 1], o[:, 2],
