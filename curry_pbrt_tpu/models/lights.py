@@ -318,10 +318,11 @@ def eval_env(env: EnvMap, w):
     """Escaped-ray radiance lookup (infinite_area.rs:35-39 + the image
     evaluate v-flip pair, which nets to row=θ, col=φ)."""
     uv = m.spherical_to_normalized_phi_theta(m.normalize(w))
-    h, wd = env.image.shape[0], env.image.shape[1]
+    img = jnp.asarray(env.image)  # env.image is host numpy (a jit constant)
+    h, wd = img.shape[0], img.shape[1]
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     x = jnp.clip((uv[..., 0] * wd).astype(jnp.int32), 0, wd - 1)
-    return env.image[y, x]
+    return img[y, x]
 
 
 def env_out_scene_pdf(env: EnvMap, w):

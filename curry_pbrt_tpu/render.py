@@ -116,9 +116,10 @@ def plan_render(
     perms = make_permutations(cfg.seed)
     offs = compute_pixel_offsets(cfg)[:yres, :xres]
     if chunk_pixels is None:
-        # ~32k rays/chunk keeps the unrolled depth-loop's live buffers well
-        # inside HBM (the 512²·64spp Cornell peaks ~4.7GB at this size)
-        target_rays = 1 << 15
+        # ~1M rays/chunk: measured on TPU v5e, per-ray cost at 32k-ray chunks
+        # is ~30× worse than at ≥512k (fixed per-op overheads dominate small
+        # launches); 1M-ray chunks stay well inside HBM for small scenes
+        target_rays = 1 << 20
         chunk_pixels = max(min(target_rays // max(spp, 1), xres * yres), 256)
     dim_base = 4 if scene.camera.has_lens else 2
     return RenderPlan(
@@ -186,6 +187,32 @@ def _render_chunk_stats(plan: RenderPlan, params, pix_offsets, pix_xy):
     return F.accumulate_box(radiance, spp), segments
 
 
+def _chunked_pixel_arrays(plan: RenderPlan):
+    """Host-side (K, C) pixel-offset and (K, C, 2) pixel-xy chunk arrays,
+    padded to a whole number of chunks."""
+    xres, yres = plan.scene.settings.resolution
+    n_pixels = xres * yres
+    C = plan.chunk_pixels
+    K = (n_pixels + C - 1) // C
+    ys, xs = np.mgrid[0:yres, 0:xres]
+    pix_xy = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
+    offs = plan.pixel_offsets.reshape(-1)
+    pad = K * C - n_pixels
+    po = np.pad(offs, (0, pad)).reshape(K, C)
+    px = np.pad(pix_xy, ((0, pad), (0, 0))).reshape(K, C, 2)
+    return po, px, n_pixels
+
+
+def _render_all(plan: RenderPlan, params, po_chunks, px_chunks):
+    """Whole-film render in ONE dispatch: `lax.map` over pixel chunks keeps
+    peak memory at one chunk's working set while XLA compiles the bounce
+    pipeline once. Replaces the host chunk loop (one device round trip per
+    chunk — each costs tens of ms to seconds under the axon TPU tunnel)."""
+    return jax.lax.map(
+        lambda c: _render_chunk(plan, params, c[0], c[1]), (po_chunks, px_chunks)
+    )
+
+
 def render_scene(
     scene: Scene,
     params=None,
@@ -197,28 +224,11 @@ def render_scene(
     plan = plan_render(scene, intersector, chunk_pixels)
     params = scene.init_params if params is None else params
     xres, yres = scene.settings.resolution
-    n_pixels = xres * yres
-    C = plan.chunk_pixels
+    po, px, n_pixels = _chunked_pixel_arrays(plan)
 
-    ys, xs = np.mgrid[0:yres, 0:xres]
-    pix_xy_all = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
-    offs_all = plan.pixel_offsets.reshape(-1)
-
-    chunk_fn = jax.jit(partial(_render_chunk, plan))
-
-    out = np.zeros((n_pixels, 3), np.float32)
-    n_chunks = (n_pixels + C - 1) // C
     t0 = time.time()
-    with progress(n_chunks, enabled=show_progress) as tick:
-        for ci in range(n_chunks):
-            lo = ci * C
-            hi = min(lo + C, n_pixels)
-            pad = C - (hi - lo)
-            po = np.pad(offs_all[lo:hi], (0, pad))
-            px = np.pad(pix_xy_all[lo:hi], ((0, pad), (0, 0)))
-            res = chunk_fn(params, jnp.asarray(po), jnp.asarray(px))
-            out[lo:hi] = np.asarray(res)[: hi - lo]
-            tick()
+    out = jax.jit(partial(_render_all, plan))(params, jnp.asarray(po), jnp.asarray(px))
+    out = np.asarray(out).reshape(-1, 3)[:n_pixels]
     log.info("rendered %dx%d @ %d spp in %.2fs", xres, yres, scene.settings.spp, time.time() - t0)
     return out.reshape(yres, xres, 3)
 

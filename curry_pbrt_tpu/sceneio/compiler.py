@@ -65,8 +65,10 @@ class Scene:
 
     tris: TriangleArrays
     spheres: SphereArrays
-    prim_mat: jnp.ndarray  # (P,) i32, -1 for light prims
-    prim_light: jnp.ndarray  # (P,) i32, -1 for material prims
+    prim_mat: np.ndarray  # (P,) i32, -1 for light prims (HOST array — device
+    prim_light: np.ndarray  # (P,) i32; pulled into jit as a constant. Keeping
+    # these numpy avoids device→host fetches in plan_render (the axon tunnel
+    # makes each fetch cost seconds).
     materials: List[CompiledMaterial]
     material_registry: Dict[str, CompiledMaterial]
     lights: LightArrays
@@ -308,10 +310,11 @@ class _Compiler:
         path = ps.get_path("filename")
         img = read_image(path)
         if tex_type == "spectrum":
-            from curry_pbrt_tpu.ops.math import inverse_gamma_correct
-            import jax.numpy as jnp_  # host-eval once
-
-            img = np.asarray(inverse_gamma_correct(jnp_.asarray(img)))
+            # inverse sRGB gamma in numpy (host) — shipping the image through
+            # the device just to gamma-decode costs a full HBM round trip
+            # under the axon tunnel (observed 10-100s latency per transfer)
+            f = img.astype(np.float64)
+            img = np.where(f <= 0.04045, f / 12.92, np.power((f + 0.055) / 1.05, 2.4)).astype(np.float32)
         key = f"{name}#{tex_type}#{len(self.texture_store)}"
         self.texture_store[key] = img.astype(np.float32)
         state.textures[name] = key
@@ -482,12 +485,12 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
     sph_w2o = np.linalg.inv(sph_o2w.astype(np.float64)).astype(np.float32)
 
     tris = TriangleArrays(
-        jnp.asarray(tri_p[0]), jnp.asarray(tri_p[1]), jnp.asarray(tri_p[2]),
-        jnp.asarray(tri_prim),
+        tri_p[0], tri_p[1], tri_p[2],
+        tri_prim,
     )
     spheres = SphereArrays(
-        jnp.asarray(sph_o2w), jnp.asarray(sph_w2o), jnp.asarray(sph_radius),
-        jnp.asarray(sph_prim),
+        sph_o2w, sph_w2o, sph_radius,
+        sph_prim,
     )
 
     # --- light table
@@ -525,11 +528,11 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
             )
             lt["sph_radius"][i] = row["radius"]
             lt["area"][i] = 4.0 * np.pi * row["radius"] ** 2
-    lights = LightArrays(**{k: jnp.asarray(v) for k, v in lt.items()})
+    lights = LightArrays(**lt)  # host numpy; becomes a jit constant
 
     env = None
     if env_img is not None:
-        env = EnvMap(image=jnp.asarray(env_img), dist=build_env_distribution(env_img))
+        env = EnvMap(image=env_img.astype(np.float32), dist=build_env_distribution(env_img))
 
     # --- params pytree
     params = {
@@ -544,8 +547,8 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
     return Scene(
         tris=tris,
         spheres=spheres,
-        prim_mat=jnp.asarray(np.asarray(prim_mat + [-1], np.int32)[: max(len(prim_mat), 1)]),
-        prim_light=jnp.asarray(np.asarray(prim_light + [-1], np.int32)[: max(len(prim_light), 1)]),
+        prim_mat=np.asarray(prim_mat + [-1], np.int32)[: max(len(prim_mat), 1)],
+        prim_light=np.asarray(prim_light + [-1], np.int32)[: max(len(prim_light), 1)],
         materials=comp.materials,
         material_registry=comp.registry,
         lights=lights,
