@@ -41,7 +41,11 @@ import jax.numpy as jnp
 
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 from curry_pbrt_tpu.models import lights as LT
-from curry_pbrt_tpu.models.materials import CompiledMaterial, lobe_kinds
+from curry_pbrt_tpu.models.materials import (
+    CompiledMaterial,
+    MaterialFamily,
+    lobe_kinds,
+)
 from curry_pbrt_tpu.ops import bsdf as B
 from curry_pbrt_tpu.ops import math as m
 from curry_pbrt_tpu.ops.halton import HaltonConfig, halton_sample, halton_sample_2d
@@ -57,6 +61,7 @@ class ShadeContext:
     """Static shading info shared by the integrators."""
 
     materials: List[CompiledMaterial]  # only instances actually referenced
+    families: List[MaterialFamily]  # shading dispatch groups over `materials`
     registry: dict  # named materials (for mix)
     lights: LT.LightArrays
     env: Optional[LT.EnvMap]
@@ -79,17 +84,21 @@ def _shading_frame(n):
 
 
 def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
-    """no_delta_f_pdf across material instances → (f, pdf, present)."""
+    """no_delta_f_pdf across material FAMILIES → (f, pdf, present).
+
+    Each family is one vectorized lobe-stack eval with per-lane gathered
+    constants; lanes select their family by material id (the EP-analog
+    grouping — SURVEY §2.8)."""
     N = wo_l.shape[0]
     f = jnp.zeros((N, 3), Float)
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
-    for mat in ctx.materials:
-        lobes = mat.make_lobes(uv, params, ctx.registry)
-        if not any(not l.is_delta for l in lobes):
+    for fam in ctx.families:
+        if all(k in B.DELTA_KINDS for k in lobe_kinds(fam.rep, ctx.registry)):
             continue
+        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
         mf, mp, mpres = B.bsdf_eval_pdf(lobes, wo_l, wi_l)
-        sel = ctx.mat_mask(mat_ids, mat)
+        sel = fam.mask(mat_ids)
         f = jnp.where(sel[:, None], mf, f)
         pdf = jnp.where(sel, mp, pdf)
         present = jnp.where(sel, mpres, present)
@@ -97,18 +106,18 @@ def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
 
 
 def shade_sample_nondelta(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_pick, u2):
-    """sample_no_delta_f across instances → (wi_l, f, pdf, present)."""
+    """sample_no_delta_f across families → (wi_l, f, pdf, present)."""
     N = wo_l.shape[0]
     wi = jnp.zeros((N, 3), Float)
     f = jnp.zeros((N, 3), Float)
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
-    for mat in ctx.materials:
-        lobes = mat.make_lobes(uv, params, ctx.registry)
-        if not any(not l.is_delta for l in lobes):
+    for fam in ctx.families:
+        if all(k in B.DELTA_KINDS for k in lobe_kinds(fam.rep, ctx.registry)):
             continue
+        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
         mwi, mf, mp, mpres = B.bsdf_sample_nondelta(lobes, wo_l, u_pick, u2)
-        sel = ctx.mat_mask(mat_ids, mat)
+        sel = fam.mask(mat_ids)
         wi = jnp.where(sel[:, None], mwi, wi)
         f = jnp.where(sel[:, None], mf, f)
         pdf = jnp.where(sel, mp, pdf)
@@ -117,17 +126,17 @@ def shade_sample_nondelta(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_pick, 
 
 
 def shade_sample(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_bucket, u_extra):
-    """sample_f across instances → (wi_l, f, pdf, present, is_delta)."""
+    """sample_f across families → (wi_l, f, pdf, present, is_delta)."""
     N = wo_l.shape[0]
     wi = jnp.zeros((N, 3), Float)
     f = jnp.zeros((N, 3), Float)
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
     is_delta = jnp.zeros((N,), bool)
-    for mat in ctx.materials:
-        lobes = mat.make_lobes(uv, params, ctx.registry)
+    for fam in ctx.families:
+        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
         mwi, mf, mp, mpres, mdelta = B.bsdf_sample(lobes, wo_l, u_bucket, u_extra)
-        sel = ctx.mat_mask(mat_ids, mat)
+        sel = fam.mask(mat_ids)
         wi = jnp.where(sel[:, None], mwi, wi)
         f = jnp.where(sel[:, None], mf, f)
         pdf = jnp.where(sel, mp, pdf)
@@ -402,12 +411,16 @@ def direct_light_trace(
                 bwi = jnp.zeros(N3, Float)
                 bf = jnp.zeros(N3, Float)
                 bok = jnp.zeros((N,), bool)
-                for mat in ctx.materials:
-                    lobes = [l for l in mat.make_lobes(hit.uv, params, ctx.registry) if l.is_delta]
+                for fam in ctx.families:
+                    lobes = [
+                        l
+                        for l in fam.make_lobes(hit.uv, params, ctx.registry, mat_ids)
+                        if l.is_delta
+                    ]
                     if branch >= len(lobes):
                         continue
                     wi_l, f_l, ok_l = B.delta_lobe_sample(lobes[branch], wo_l)
-                    sel = ctx.mat_mask(mat_ids, mat)
+                    sel = fam.mask(mat_ids)
                     bwi = jnp.where(sel[:, None], m.to_world(wi_l, fx, fy, fz), bwi)
                     bf = jnp.where(sel[:, None], f_l, bf)
                     bok = jnp.where(sel, ok_l, bok)

@@ -104,9 +104,15 @@ class CompiledMaterial:
 
     # -- lobe construction ------------------------------------------------
 
-    def make_lobes(self, uv, params, material_registry=None) -> List[B.Lobe]:
-        ev_rgb = lambda slot: eval_texref(self.refs[slot], uv, params, self.mat_id, slot, True)
-        ev_f = lambda slot: eval_texref(self.refs[slot], uv, params, self.mat_id, slot, False)
+    def make_lobes(self, uv, params, material_registry=None, ev=None) -> List[B.Lobe]:
+        """Build this material's lobes for a ray batch. `ev`, when given, is
+        an (ev_rgb, ev_f) pair of slot evaluators — used by MaterialFamily to
+        substitute per-lane gathered parameters for the per-instance ones."""
+        if ev is not None:
+            ev_rgb, ev_f = ev
+        else:
+            ev_rgb = lambda slot: eval_texref(self.refs[slot], uv, params, self.mat_id, slot, True)
+            ev_f = lambda slot: eval_texref(self.refs[slot], uv, params, self.mat_id, slot, False)
         k = self.kind
         ones = jnp.ones(uv.shape[:-1], Float)
 
@@ -227,6 +233,89 @@ class CompiledMaterial:
 
     def is_all_delta(self, registry) -> bool:
         return self.counts(registry)[0] == 0
+
+
+@dataclass
+class MaterialFamily:
+    """Shading-dispatch group: material INSTANCES sharing (kind, lobe_plan,
+    texture bindings, ref slots) evaluate as ONE vectorized lobe stack, with
+    per-lane constants gathered from a stacked member-parameter table by each
+    lane's material id. This is the TPU answer to 'shading scales linearly in
+    distinct material instances' (the reference dispatches per-ray through
+    trait objects — material/mod.rs:23-26 — so it never pays this): a scene
+    with 50 matte instances shades in one pass, not 50.
+    """
+
+    members: List[CompiledMaterial]
+
+    @property
+    def rep(self) -> CompiledMaterial:
+        return self.members[0]
+
+    @property
+    def member_ids(self) -> List[int]:
+        return [mat.mat_id for mat in self.members]
+
+    def mask(self, mat_ids):
+        """(N,) bool — lanes shaded by any member."""
+        sel = mat_ids == self.members[0].mat_id
+        for mat in self.members[1:]:
+            sel = sel | (mat_ids == mat.mat_id)
+        return sel
+
+    def _local_idx(self, mat_ids):
+        """(N,) i32 — each lane's member position (0 where not a member)."""
+        idx = jnp.zeros(mat_ids.shape, jnp.int32)
+        for j, mat in enumerate(self.members[1:], start=1):
+            idx = jnp.where(mat_ids == mat.mat_id, j, idx)
+        return idx
+
+    def make_lobes(self, uv, params, registry, mat_ids) -> List[B.Lobe]:
+        rep = self.rep
+        if len(self.members) == 1:
+            return rep.make_lobes(uv, params, registry)
+        local = self._local_idx(mat_ids)
+
+        from curry_pbrt_tpu.ops.math import take_small
+
+        def ev(slot: str, want_rgb: bool):
+            ref = rep.refs[slot]
+            if ref.kind == "texture":
+                return eval_texref(ref, uv, params, rep.mat_id, slot, want_rgb)
+            vals = [params["materials"][str(mat.mat_id)][slot] for mat in self.members]
+            if want_rgb:
+                stacked = jnp.stack(
+                    [jnp.broadcast_to(jnp.asarray(v), (3,)) for v in vals]
+                )  # (k, 3)
+            else:
+                stacked = jnp.stack(
+                    [jnp.reshape(jnp.asarray(v), (-1,))[0] for v in vals]
+                )  # (k,)
+            return take_small(stacked, local)
+
+        return rep.make_lobes(
+            uv, params, registry,
+            ev=(lambda s: ev(s, True), lambda s: ev(s, False)),
+        )
+
+
+def family_key(mat: CompiledMaterial) -> tuple:
+    """Materials group into a family iff this key matches. mix is excluded
+    (its lobes come from registry member materials — one family each)."""
+    if mat.kind == "mix":
+        return ("mix", mat.mat_id)
+    ref_sig = tuple(
+        (slot, ref.kind, ref.tex, len(ref.const or ()))
+        for slot, ref in sorted(mat.refs.items())
+    )
+    return (mat.kind, mat.lobe_plan, ref_sig)
+
+
+def build_families(materials: List[CompiledMaterial]) -> List[MaterialFamily]:
+    groups: Dict[tuple, List[CompiledMaterial]] = {}
+    for mat in materials:
+        groups.setdefault(family_key(mat), []).append(mat)
+    return [MaterialFamily(m) for m in groups.values()]
 
 
 def _scale_lobe(l: B.Lobe, s) -> B.Lobe:

@@ -26,14 +26,21 @@ from curry_pbrt_tpu.dtypes import Float
 from curry_pbrt_tpu.ops.math import gamma_correct
 
 
-def accumulate_box(radiance, spp: int):
+def accumulate_box(radiance, spp: int, return_nan_counts: bool = False):
     """radiance: (P·S, 3) sample radiances laid out pixel-major → (P, 3)
-    per-pixel means with NaN samples dropped."""
+    per-pixel means with NaN samples dropped.
+
+    With return_nan_counts=True also returns (P,) int32 dropped-sample
+    counts so the caller can warn with pixel ids (render.rs:34-40 warns per
+    NaN sample; we aggregate per chunk — see render._render_all)."""
     r = radiance.reshape(-1, spp, 3)
     bad = jnp.any(jnp.isnan(r), axis=-1, keepdims=True)
     r = jnp.where(bad, 0.0, r)
     count = jnp.sum((~bad).astype(Float), axis=1)
-    return jnp.sum(r, axis=1) / jnp.maximum(count, 1.0)
+    means = jnp.sum(r, axis=1) / jnp.maximum(count, 1.0)
+    if return_nan_counts:
+        return means, jnp.sum(bad[..., 0].astype(jnp.int32), axis=1)
+    return means
 
 
 def to_srgb_u8(image):

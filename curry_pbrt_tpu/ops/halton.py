@@ -13,13 +13,21 @@ function of (pixel, sample_index, dim):
     permutations (the reference uses thread_rng — halton.rs:216-231 — which
     makes its renders nondeterministic; we seed so images are reproducible).
 
+Scrambling uses per-prime AFFINE digit permutations π(d) = (a·d + b) mod p
+with seeded a ∈ [1,p), b ∈ [0,p) — the Faure-Lemieux linear-scrambling
+family. The reference draws an arbitrary random permutation per prime
+(halton.rs:216-231); any seeded permutation family is an equally valid
+instance of the same estimator, and the affine form evaluates in ~5 VPU ops
+per digit instead of a base-wide one-hot table contraction (measured ~10-30×
+cheaper on TPU for the bounce dims, which dominate the sampler cost).
+
 `pixel_offset` is precomputed host-side with numpy (it is a pure function of
 the pixel grid), so the device only does the per-(ray, dim) digit loops —
 fixed trip counts, fully unrolled, no data-dependent control flow.
 
-Dims >= MAX_DIMS fall back to a counter-based hash RNG (threefry-lite),
-mirroring the reference's `rand::random` fallback past its prime table
-(halton.rs:130-132).
+The prime table covers the reference's full 1000 primes (halton.rs:141-203);
+dims >= MAX_DIMS fall back to a counter-based hash RNG (threefry-lite),
+mirroring the reference's `rand::random` fallback (halton.rs:130-132).
 """
 
 from __future__ import annotations
@@ -31,15 +39,23 @@ import jax.numpy as jnp
 
 from curry_pbrt_tpu.dtypes import Float
 
-# First 64 primes — enough for 2 pixel dims + ~6 bounces × 9 dims.
-PRIMES = [
-    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
-    71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137, 139, 149,
-    151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227, 229,
-    233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283, 293, 307, 311,
-]
+
+def _first_primes(n: int) -> list:
+    """Sieve the first n primes (reference table: halton.rs:141-203)."""
+    # n-th prime < n (ln n + ln ln n) for n >= 6; 1000th prime = 7919
+    limit = max(int(n * (np.log(n) + np.log(np.log(n)))) + 10, 30)
+    sieve = np.ones(limit, bool)
+    sieve[:2] = False
+    for p in range(2, int(limit**0.5) + 1):
+        if sieve[p]:
+            sieve[p * p :: p] = False
+    primes = np.nonzero(sieve)[0][:n]
+    assert len(primes) == n
+    return [int(p) for p in primes]
+
+
+PRIMES = _first_primes(1000)
 MAX_DIMS = len(PRIMES)
-PRIME_OFFSETS = np.concatenate([[0], np.cumsum(PRIMES)]).astype(np.int64)
 
 ONE_MINUS_EPS = Float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 
@@ -54,14 +70,18 @@ def _max_digits(base: int) -> int:
 
 
 def make_permutations(seed: int) -> np.ndarray:
-    """Seeded digit permutations for every prime, flattened.
+    """Seeded affine digit-permutation coefficients per prime.
 
-    perm for prime i lives at PRIME_OFFSETS[i] : PRIME_OFFSETS[i+1].
-    """
+    Returns (MAX_DIMS, 2) int32: row i = (a_i, b_i) defining the digit
+    permutation π_i(d) = (a_i·d + b_i) mod PRIMES[i], a_i ∈ [1, p), so π is a
+    bijection on [0, p). Replaces the reference's full random permutation
+    tables (halton.rs:216-231) with an equally-seeded permutation family that
+    evaluates arithmetically on device (no table gathers)."""
     rng = np.random.RandomState(seed)
-    out = np.empty(PRIME_OFFSETS[-1], dtype=np.int32)
+    out = np.empty((MAX_DIMS, 2), dtype=np.int32)
     for i, p in enumerate(PRIMES):
-        out[PRIME_OFFSETS[i] : PRIME_OFFSETS[i + 1]] = rng.permutation(p)
+        out[i, 0] = 1 if p == 2 else rng.randint(1, p)
+        out[i, 1] = rng.randint(0, p)
     return out
 
 
@@ -153,17 +173,19 @@ def radical_inverse(x, base: int):
 
 
 def scrambled_radical_inverse(x, dim: int, perms):
-    """Scrambled radical inverse with per-base digit permutation.
+    """Scrambled radical inverse with per-base affine digit permutation.
 
-    Matches halton.rs:25-63 including the permuted-zero tail term
-    b^-dc · (1/b)·perm[0]/(1 − 1/b), which accounts for the infinite run of
-    zero digits above the top digit all mapping through the permutation.
-    """
+    Matches the reference's scrambled accumulation (halton.rs:25-63) including
+    the permuted-zero tail term b^-dc · (1/b)·π(0)/(1 − 1/b), which accounts
+    for the infinite run of zero digits above the top digit all mapping
+    through the permutation. π(d) = (a·d + b) mod p computed arithmetically —
+    ~5 VPU ops per digit; no table, no gather, no one-hot."""
     base = PRIMES[dim]
-    off = int(PRIME_OFFSETS[dim])
-    permf = jnp.asarray(perms[off : off + base], dtype=Float)  # (base,)
-    iota = jnp.arange(base, dtype=jnp.uint32)
+    a = int(np.asarray(perms[dim, 0]))
+    c = int(np.asarray(perms[dim, 1]))
     b = jnp.uint32(base)
+    au = jnp.uint32(a)
+    cu = jnp.uint32(c)
     r = jnp.zeros(x.shape, dtype=Float)
     w = Float(1.0 / base)
     digit_count = jnp.zeros(x.shape, dtype=jnp.int32)
@@ -171,17 +193,13 @@ def scrambled_radical_inverse(x, dim: int, perms):
         nz = x != 0
         digit = x % b
         x = x // b
-        # permutation lookup as a one-hot contraction — a (N,)-lane gather
-        # from a tiny table serializes on TPU; the compare+select sum is VPU
-        pd = jnp.sum(
-            jnp.where(digit[..., None] == iota, permf, Float(0.0)), axis=-1
-        )
-        r = jnp.where(nz, r + pd * w, r)
+        pd = (digit * au + cu) % b  # affine permutation; fits u32 (p < 2^13)
+        r = jnp.where(nz, r + pd.astype(Float) * w, r)
         digit_count = jnp.where(nz, digit_count + 1, digit_count)
         w = w * Float(1.0 / base)
     inv_base = Float(1.0 / base)
     inv_base_n = jnp.power(Float(base), -digit_count.astype(Float))
-    tail = inv_base * Float(float(np.asarray(perms[off]))) / (1.0 - inv_base)
+    tail = inv_base * Float(float(c)) / (1.0 - inv_base)  # π(0) = c
     return r + inv_base_n * tail
 
 

@@ -123,13 +123,13 @@ def permute_by_kz(v, kz):
     )
 
 
-def watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2):
+def watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2, with_bary: bool = True):
     """Watertight Möller test on broadcast-compatible batches.
 
     o: (..., 3) ray origins; kz: (...) i32 dominant ray axis (from
     `ray_shear`); sx/sy/sz: (...) shear factors; t_max: (...);
     p0/p1/p2: (..., 3) triangle vertices (broadcast against the ray dims).
-    Returns (t, b: (...,3) barycentrics, ok).
+    Returns (t, b: (...,3) barycentrics — None when with_bary=False — , ok).
     """
     def prep(v):
         return permute_by_kz(v - o, kz)
@@ -174,7 +174,11 @@ def watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2):
     )
 
     ok = same_side & (det != 0) & in_range & (t > delta_t)
-    b = jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
+    b = (
+        jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
+        if with_bary
+        else None
+    )
     return jnp.where(ok, t, FLOAT_MAX), b, ok
 
 
@@ -186,20 +190,34 @@ def ray_shear(d):
     return kz, -dx / dz, -dy / dz, 1.0 / dz
 
 
-def triangle_intersect_t(o, d, t_max, tris: TriangleArrays):
-    """Dense (N rays × T tris) watertight test returning only (t, bary, ok).
+def triangle_intersect_t(o, d, t_max, tris: TriangleArrays, with_bary: bool = True):
+    """Dense (N rays × T tris) watertight test.
 
     o/d: (N,3); t_max: (N,). Returns t: (N,T), b: (N,T,3), ok: (N,T) bool.
-    Attribute reconstruction happens separately on the winner (see
-    `triangle_hit_attributes`) to keep the O(N·T) working set small.
+    With with_bary=False, b is None: the (N,T,3) barycentric tensor gets its
+    minor dim padded 3→128 lanes by XLA (a ~42× HBM blowup — measured as the
+    dominant cost of the old dense pass); callers recompute barycentrics for
+    each ray's WINNING triangle only (`winner_bary`).
     """
     kz, sx, sy, sz = ray_shear(d)
     t, b, ok = watertight_core(
         o[:, None, :], kz[:, None], sx[:, None], sy[:, None], sz[:, None],
         t_max[:, None], tris.p0[None], tris.p1[None], tris.p2[None],
+        with_bary=with_bary,
     )
     ok = ok & (tris.prim[None, :] >= 0)
     return jnp.where(ok, t, FLOAT_MAX), b, ok
+
+
+def winner_bary(o, d, t_max, tri_idx, tris: TriangleArrays):
+    """Recompute the watertight test for each ray's winning triangle to get
+    barycentrics — O(N) instead of O(N·T·3)."""
+    p0 = take_small(tris.p0, tri_idx)
+    p1 = take_small(tris.p1, tri_idx)
+    p2 = take_small(tris.p2, tri_idx)
+    kz, sx, sy, sz = ray_shear(d)
+    _t, b, _ok = watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2)
+    return b
 
 
 def triangle_hit_attributes(tri_idx, b, tris: TriangleArrays):
@@ -367,14 +385,14 @@ def intersect_brute(
     have_sph = sph.count > 0
 
     if have_tris:
-        tt, tb, tok = triangle_intersect_t(o, d, t_max, tris)
+        tt, _, tok = triangle_intersect_t(o, d, t_max, tris, with_bary=False)
         tri_best = jnp.argmin(tt, axis=-1).astype(jnp.int32)
         # winner extraction via one-hot reductions (take_along_axis on the
         # minor axis is a per-element gather on TPU)
         oh_t = jnp.arange(tt.shape[1], dtype=jnp.int32)[None, :] == tri_best[:, None]
         tri_t = jnp.min(tt, axis=-1)
-        tri_b = jnp.sum(tb * oh_t[..., None], axis=1)
         tri_hit = jnp.any(tok & oh_t, axis=-1)
+        tri_b = winner_bary(o, d, t_max, tri_best, tris)
     if have_sph:
         st, sok = sphere_intersect_t(o, d, t_max, sph)
         sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
@@ -426,7 +444,7 @@ def intersect_predicate_brute(o, d, t_max, tris: TriangleArrays, sph: SphereArra
     """Any-hit test (shadow rays). Returns (N,) bool."""
     hit = jnp.zeros(o.shape[:1], bool)
     if tris.count > 0:
-        _, _, tok = triangle_intersect_t(o, d, t_max, tris)
+        _, _, tok = triangle_intersect_t(o, d, t_max, tris, with_bary=False)
         hit = hit | jnp.any(tok, axis=-1)
     if sph.count > 0:
         _, sok = sphere_intersect_t(o, d, t_max, sph)

