@@ -27,7 +27,8 @@ Algorithm mapping to the reference:
       bounce-0/specular, NEE gating on is_all_delta, RR after bounce 3 with
       q = max(0.05, 1−β.y), throughput update β·f·|cosθ|/pdf)
   DirectLightIntegrator    ← integrator/direct_light.rs (NEE at first hit +
-      recursion through every delta lobe, batch-doubling per level)
+      delta recursion; the reference's per-ray branch enumeration becomes a
+      luminance-weighted stochastic single branch — see direct_light_trace)
 """
 
 from __future__ import annotations
@@ -69,6 +70,7 @@ class ShadeContext:
     mat_is_all_delta: np.ndarray  # host (M_total,) indexed by mat_id
     intersect: Callable  # (o, d, t_max) -> Hit
     predicate: Callable  # (o, d, t_max) -> (N,) bool
+    intersect_tprim: Callable  # (o, d, t_max) -> (t, prim) — slim MIS-leg path
     prim_mat: jnp.ndarray  # (P,)
     prim_light: jnp.ndarray  # (P,)
 
@@ -83,7 +85,29 @@ def _shading_frame(n):
     return x, y, n
 
 
-def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
+def build_family_lobes(ctx: ShadeContext, mat_ids, uv, params):
+    """Evaluate every family's lobe stack ONCE for this batch (textures and
+    parameter gathers are the expensive part — a shading point is consumed
+    by shade_eval + NEE's sample + the continuation sample, and rebuilding
+    lobes per call re-gathered every texture 3× per bounce).
+
+    Returns [(family, lobes)], the `fam_lobes` the shade_* functions take.
+    """
+    return [
+        (fam, fam.make_lobes(uv, params, ctx.registry, mat_ids))
+        for fam in ctx.families
+    ]
+
+
+def _nondelta_fams(ctx, fam_lobes):
+    return [
+        (fam, lobes)
+        for fam, lobes in fam_lobes
+        if not all(k in B.DELTA_KINDS for k in lobe_kinds(fam.rep, ctx.registry))
+    ]
+
+
+def shade_eval(ctx: ShadeContext, fam_lobes, mat_ids, wo_l, wi_l):
     """no_delta_f_pdf across material FAMILIES → (f, pdf, present).
 
     Each family is one vectorized lobe-stack eval with per-lane gathered
@@ -93,10 +117,7 @@ def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
     f = jnp.zeros((N, 3), Float)
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
-    for fam in ctx.families:
-        if all(k in B.DELTA_KINDS for k in lobe_kinds(fam.rep, ctx.registry)):
-            continue
-        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
+    for fam, lobes in _nondelta_fams(ctx, fam_lobes):
         mf, mp, mpres = B.bsdf_eval_pdf(lobes, wo_l, wi_l)
         sel = fam.mask(mat_ids)
         f = jnp.where(sel[:, None], mf, f)
@@ -105,17 +126,14 @@ def shade_eval(ctx: ShadeContext, mat_ids, uv, params, wo_l, wi_l):
     return f, pdf, present
 
 
-def shade_sample_nondelta(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_pick, u2):
+def shade_sample_nondelta(ctx: ShadeContext, fam_lobes, mat_ids, wo_l, u_pick, u2):
     """sample_no_delta_f across families → (wi_l, f, pdf, present)."""
     N = wo_l.shape[0]
     wi = jnp.zeros((N, 3), Float)
     f = jnp.zeros((N, 3), Float)
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
-    for fam in ctx.families:
-        if all(k in B.DELTA_KINDS for k in lobe_kinds(fam.rep, ctx.registry)):
-            continue
-        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
+    for fam, lobes in _nondelta_fams(ctx, fam_lobes):
         mwi, mf, mp, mpres = B.bsdf_sample_nondelta(lobes, wo_l, u_pick, u2)
         sel = fam.mask(mat_ids)
         wi = jnp.where(sel[:, None], mwi, wi)
@@ -125,7 +143,7 @@ def shade_sample_nondelta(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_pick, 
     return wi, f, pdf, present
 
 
-def shade_sample(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_bucket, u_extra):
+def shade_sample(ctx: ShadeContext, fam_lobes, mat_ids, wo_l, u_bucket, u_extra):
     """sample_f across families → (wi_l, f, pdf, present, is_delta)."""
     N = wo_l.shape[0]
     wi = jnp.zeros((N, 3), Float)
@@ -133,8 +151,7 @@ def shade_sample(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_bucket, u_extra
     pdf = jnp.zeros((N,), Float)
     present = jnp.zeros((N,), bool)
     is_delta = jnp.zeros((N,), bool)
-    for fam in ctx.families:
-        lobes = fam.make_lobes(uv, params, ctx.registry, mat_ids)
+    for fam, lobes in fam_lobes:
         mwi, mf, mp, mpres, mdelta = B.bsdf_sample(lobes, wo_l, u_bucket, u_extra)
         sel = fam.mask(mat_ids)
         wi = jnp.where(sel[:, None], mwi, wi)
@@ -145,10 +162,12 @@ def shade_sample(ctx: ShadeContext, mat_ids, uv, params, wo_l, u_bucket, u_extra
     return wi, f, pdf, present, is_delta
 
 
-def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
+def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u,
+                             fam_lobes=None):
     """One-light MIS NEE for a shaded batch (integrator/mod.rs:13-97).
 
-    u: dict of sampler values for this bounce. Returns (N,3) radiance
+    u: dict of sampler values for this bounce. fam_lobes: prebuilt
+    build_family_lobes output (built here if None). Returns (N,3) radiance
     (already multiplied by the light count).
     """
     if ctx.n_lights == 0:
@@ -156,6 +175,8 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
     N = wo.shape[0]
     fx, fy, fz = frame
     p, n, perr, uv = hit.p, hit.n, hit.p_error, hit.uv
+    if fam_lobes is None:
+        fam_lobes = build_family_lobes(ctx, mat_ids, uv, params)
     light_L = params["light_L"]
 
     # pick one light uniformly (get_usize — sampler/mod.rs:26-35)
@@ -171,7 +192,7 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
     # --- light strategy
     wi_l = m.to_local(ls.wi, fx, fy, fz)
     wo_l = m.to_local(wo, fx, fy, fz)
-    f, f_pdf, f_pres = shade_eval(ctx, mat_ids, uv, params, wo_l, wi_l)
+    f, f_pdf, f_pres = shade_eval(ctx, fam_lobes, mat_ids, wo_l, wi_l)
     occluded = ctx.predicate(ls.vis_o, ls.vis_d, ls.vis_tmax)
     cos_term = jnp.abs(m.dot(n, ls.wi))
     safe_li_pdf = jnp.where(ls.pdf == 0, 1.0, ls.pdf)
@@ -184,17 +205,20 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
 
     # --- bsdf strategy (non-delta lights only, integrator/mod.rs:54-90)
     wi2_l, f2, f2_pdf, f2_pres = shade_sample_nondelta(
-        ctx, mat_ids, uv, params, wo_l, u["nee_u"], u["nee_v"]
+        ctx, fam_lobes, mat_ids, wo_l, u["nee_u"], u["nee_v"]
     )
     wi2 = m.to_world(wi2_l, fx, fy, fz)
     o2 = offset_point_by_error(p, n, perr, wi2)
-    hit2 = ctx.intersect(o2, wi2, jnp.full((N,), FLOAT_MAX))
-    hit2_light = m.take_small(ctx.prim_light, jnp.maximum(hit2.prim, 0))
-    hit2_light = jnp.where(hit2.prim >= 0, hit2_light, -1)
+    # slim intersect: the MIS leg needs only hit identity + distance; the
+    # light's own table supplies its surface normal (le_pdf hit_n=None)
+    hit2_t, hit2_prim = ctx.intersect_tprim(o2, wi2, jnp.full((N,), FLOAT_MAX))
+    hit2_light = m.take_small(ctx.prim_light, jnp.maximum(hit2_prim, 0))
+    hit2_light = jnp.where(hit2_prim >= 0, hit2_light, -1)
     same_light = (hit2_light >= 0) & (hit2_light == light_idx)
+    hit2_p = o2 + jnp.where(same_light, hit2_t, 0.0)[:, None] * wi2
     li2 = LT.le_emitted(light_L, jnp.where(same_light, light_idx, -1))
     li2_pdf = LT.le_pdf(
-        ctx.lights, jnp.where(same_light, light_idx, -1), p, hit2.p, hit2.n
+        ctx.lights, jnp.where(same_light, light_idx, -1), p, hit2_p, None
     )
     cos2 = jnp.abs(m.dot(n, wi2))
     safe_f2_pdf = jnp.where(f2_pdf == 0, 1.0, f2_pdf)
@@ -206,7 +230,7 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u):
         le3 = LT.eval_env(ctx.env, wi2) * m.take_small(light_L, light_idx)
         le3_pdf = LT.env_out_scene_pdf(ctx.env, wi2)
         ld_esc = le3 * f2 * (cos2 * m.power_heuristic(f2_pdf, le3_pdf) / safe_f2_pdf)[:, None]
-        ok_esc = (hit2.prim < 0) & chosen_inf & (le3_pdf != 0)
+        ok_esc = (hit2_prim < 0) & chosen_inf & (le3_pdf != 0)
     else:
         ld_esc = jnp.zeros((N, 3), Float)
         ok_esc = jnp.zeros((N,), bool)
@@ -308,7 +332,11 @@ def path_trace(
         wo = -d
         is_all_delta = m.take_small(mat_all_delta, jnp.maximum(mat_ids, 0))
 
-        nee = uniform_sample_one_light(ctx, params, hit, mat_ids, wo, frame, u)
+        # one lobe build serves NEE (eval + sample) and the continuation
+        fam_lobes = build_family_lobes(ctx, mat_ids, hit.uv, params)
+        nee = uniform_sample_one_light(
+            ctx, params, hit, mat_ids, wo, frame, u, fam_lobes
+        )
         shaded = active & ~is_all_delta
         L = L + jnp.where(shaded[:, None], beta * nee, 0.0)
         segments = segments + 2.0 * jnp.sum(shaded.astype(Float))
@@ -317,7 +345,7 @@ def path_trace(
         fx, fy, fz = frame
         wo_l = m.to_local(wo, fx, fy, fz)
         wi_l, f, pdf, pres, is_delta = shade_sample(
-            ctx, mat_ids, hit.uv, params, wo_l, u["bsdf_bucket"], u["bsdf_extra"]
+            ctx, fam_lobes, mat_ids, wo_l, u["bsdf_bucket"], u["bsdf_extra"]
         )
         wi = m.to_world(wi_l, fx, fy, fz)
         cont = active & pres & (pdf != 0)
@@ -371,11 +399,17 @@ def direct_light_trace(
     dim_base: int,
     max_delta_lobes: int,
 ):
-    """DirectLightIntegrator::li — NEE at the hit plus recursion through
-    EVERY delta lobe (direct_light.rs:12-42). Each recursion level doubles
-    the batch per delta lobe (breadth-first lane splitting); level count is
-    max_depth, so work is Σ_k branches^k · N — exact, no stochastic lobe
-    choice, matching the reference's branch enumeration.
+    """DirectLightIntegrator::li — NEE at the hit plus recursion through the
+    delta lobes (direct_light.rs:12-42).
+
+    The reference enumerates EVERY delta branch per ray (cheap per-ray on
+    CPU); on TPU each branch would be a full-batch trace, so glass at depth
+    d costs 2^d batch renders. Instead each lane stochastically follows ONE
+    delta lobe, luminance-weighted through the same Distribution1D the
+    reference's sample_delta_f uses (bxdf/mod.rs:160-175), reweighted by
+    1/p — an unbiased estimator of the same sum in O(depth) batch traces.
+    The lobe choice consumes the bounce's D_BSDF_BUCKET sampler dim, so
+    renders stay deterministic.
     """
     light_L = params["light_L"]
 
@@ -399,38 +433,39 @@ def direct_light_trace(
         u = _sampler_dict(indices, dim0, cfg, perms)
         frame = _shading_frame(hit.n)
         wo = -m.normalize(d)
-        nee = uniform_sample_one_light(ctx, params, hit, mat_ids, wo, frame, u)
+        fam_lobes = build_family_lobes(ctx, mat_ids, hit.uv, params)
+        nee = uniform_sample_one_light(
+            ctx, params, hit, mat_ids, wo, frame, u, fam_lobes
+        )
         out = out + jnp.where(has_mat[:, None], weight * nee, 0.0)
 
         if depth + 1 < max_depth and max_delta_lobes > 0:
             fx, fy, fz = frame
             wo_l = m.to_local(wo, fx, fy, fz)
-            for branch in range(max_delta_lobes):
-                # per-material delta lobe #branch
-                N3 = (N, 3)
-                bwi = jnp.zeros(N3, Float)
-                bf = jnp.zeros(N3, Float)
-                bok = jnp.zeros((N,), bool)
-                for fam in ctx.families:
-                    lobes = [
-                        l
-                        for l in fam.make_lobes(hit.uv, params, ctx.registry, mat_ids)
-                        if l.is_delta
-                    ]
-                    if branch >= len(lobes):
-                        continue
-                    wi_l, f_l, ok_l = B.delta_lobe_sample(lobes[branch], wo_l)
-                    sel = fam.mask(mat_ids)
-                    bwi = jnp.where(sel[:, None], m.to_world(wi_l, fx, fy, fz), bwi)
-                    bf = jnp.where(sel[:, None], f_l, bf)
-                    bok = jnp.where(sel, ok_l, bok)
-                blive = has_mat & bok
-                cosw = jnp.abs(m.dot(hit.n, bwi))
-                bo = offset_point_by_error(hit.p, hit.n, hit.p_error, bwi)
-                wnext = jnp.where(
-                    blive[:, None], weight * bf * cosw[:, None], 0.0
+            bwi = jnp.zeros((N, 3), Float)
+            bf = jnp.zeros((N, 3), Float)
+            bpdf = jnp.zeros((N,), Float)
+            bok = jnp.zeros((N,), bool)
+            for fam, all_lobes in fam_lobes:
+                lobes = [l for l in all_lobes if l.is_delta]
+                if not lobes:
+                    continue
+                wi_l, f_l, p_l, ok_l = B.bsdf_sample_delta(
+                    lobes, wo_l, u["bsdf_bucket"]
                 )
-                out = out + level(bo, bwi, wnext, blive, depth + 1)
+                sel = fam.mask(mat_ids)
+                bwi = jnp.where(sel[:, None], m.to_world(wi_l, fx, fy, fz), bwi)
+                bf = jnp.where(sel[:, None], f_l, bf)
+                bpdf = jnp.where(sel, p_l, bpdf)
+                bok = jnp.where(sel, ok_l, bok)
+            blive = has_mat & bok & (bpdf > 0)
+            cosw = jnp.abs(m.dot(hit.n, bwi))
+            bo = offset_point_by_error(hit.p, hit.n, hit.p_error, bwi)
+            safe_pdf = jnp.where(bpdf > 0, bpdf, 1.0)
+            wnext = jnp.where(
+                blive[:, None], weight * bf * (cosw / safe_pdf)[:, None], 0.0
+            )
+            out = out + level(bo, bwi, wnext, blive, depth + 1)
         return out
 
     N = o.shape[0]

@@ -352,12 +352,16 @@ def le_emitted(light_L, light_idx):
     return jnp.where((light_idx >= 0)[:, None], L, 0.0)
 
 
-def le_pdf(lights: LightArrays, light_idx, ref_p, hit_p, hit_n):
+def le_pdf(lights: LightArrays, light_idx, ref_p, hit_p, hit_n=None):
     """Light::pdf → Shape::by_point_pdf for area lights: solid-angle density
     of sampling the direction that produced this hit.
 
     tri: default_by_point_pdf (shape/mod.rs:42-52, WITH abs in denominator);
     sphere: cone pdf outside (sphere.rs:96-105), default inside.
+
+    hit_n may be None: only the triangle branch needs a surface normal and
+    the light's OWN geometry supplies it, letting the caller use a slim
+    (t, prim)-only intersect for the MIS leg.
     """
     N = ref_p.shape[0]
     tp = types_present(lights)
@@ -368,6 +372,11 @@ def le_pdf(lights: LightArrays, light_idx, ref_p, hit_p, hit_n):
     if TYPE_AREA_TRI in tp:
         sel = t == TYPE_AREA_TRI
         area = _gather(lights.area, jnp.maximum(light_idx, 0))
+        if hit_n is None:
+            tp0 = _gather(lights.tri_p0, jnp.maximum(light_idx, 0))
+            tp1 = _gather(lights.tri_p1, jnp.maximum(light_idx, 0))
+            tp2 = _gather(lights.tri_p2, jnp.maximum(light_idx, 0))
+            hit_n = m.normalize(m.cross(tp0 - tp2, tp1 - tp2))
         dvec = ref_p - hit_p
         dist2 = m.length_sq(dvec)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))

@@ -346,7 +346,8 @@ def bvh_traverse(bvh: FlatBVH, tris, sph, o, d, t_max, any_hit: bool = False):
 
 
 def make_bvh_intersectors(bvh: FlatBVH, tris, sph):
-    """Returns (intersect, predicate) callables matching the brute API."""
+    """Returns (intersect, predicate, intersect_tprim) callables matching
+    the brute API."""
 
     def intersect(o, d, t_max) -> isect.Hit:
         t, ref = bvh_traverse(bvh, tris, sph, o, d, t_max, any_hit=False)
@@ -362,14 +363,10 @@ def make_bvh_intersectors(bvh: FlatBVH, tris, sph):
         perr = jnp.zeros((N, 3), Float)
         prim = jnp.full((N,), -1, jnp.int32)
         if tris.count > 0:
-            # recompute winning-tri barycentrics for attributes
-            p0 = jnp.take(tris.p0, tri_idx, axis=0)
-            p1 = jnp.take(tris.p1, tri_idx, axis=0)
-            p2 = jnp.take(tris.p2, tri_idx, axis=0)
-            shear = isect.ray_shear(d)
-            perm, sx, sy, sz = shear
-            _t, b, _ok = isect.watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2)
-            tp, tn, tuv, terr = isect.triangle_hit_attributes(tri_idx, b, tris)
+            # winner-only re-test + attributes, single vertex gather
+            tp, tn, tuv, terr = isect.triangle_winner_attributes(
+                o, d, t_max, tri_idx, tris
+            )
             mask = is_tri[:, None]
             p = jnp.where(mask, tp, p)
             n = jnp.where(mask, tn, n)
@@ -390,4 +387,18 @@ def make_bvh_intersectors(bvh: FlatBVH, tris, sph):
         _t, ref = bvh_traverse(bvh, tris, sph, o, d, t_max, any_hit=True)
         return ref >= 0
 
-    return intersect, predicate
+    def intersect_tprim(o, d, t_max):
+        """(t, prim) only — no attribute reconstruction (NEE MIS leg)."""
+        t, ref = bvh_traverse(bvh, tris, sph, o, d, t_max, any_hit=False)
+        is_tri = (ref >= 0) & (ref < bvh.n_tris)
+        is_sph = ref >= bvh.n_tris
+        tri_idx = jnp.clip(ref, 0, max(tris.count - 1, 0))
+        sph_idx = jnp.clip(ref - bvh.n_tris, 0, max(sph.count - 1, 0))
+        prim = jnp.full(o.shape[:1], -1, jnp.int32)
+        if tris.count > 0:
+            prim = jnp.where(is_tri, jnp.take(tris.prim, tri_idx), prim)
+        if sph.count > 0:
+            prim = jnp.where(is_sph, jnp.take(sph.prim, sph_idx), prim)
+        return jnp.where(ref >= 0, t, FLOAT_MAX), prim
+
+    return intersect, predicate, intersect_tprim

@@ -197,7 +197,7 @@ def triangle_intersect_t(o, d, t_max, tris: TriangleArrays, with_bary: bool = Tr
     With with_bary=False, b is None: the (N,T,3) barycentric tensor gets its
     minor dim padded 3→128 lanes by XLA (a ~42× HBM blowup — measured as the
     dominant cost of the old dense pass); callers recompute barycentrics for
-    each ray's WINNING triangle only (`winner_bary`).
+    each ray's WINNING triangle only (`triangle_winner_attributes`).
     """
     kz, sx, sy, sz = ray_shear(d)
     t, b, ok = watertight_core(
@@ -209,27 +209,20 @@ def triangle_intersect_t(o, d, t_max, tris: TriangleArrays, with_bary: bool = Tr
     return jnp.where(ok, t, FLOAT_MAX), b, ok
 
 
-def winner_bary(o, d, t_max, tri_idx, tris: TriangleArrays):
-    """Recompute the watertight test for each ray's winning triangle to get
-    barycentrics — O(N) instead of O(N·T·3)."""
+def triangle_winner_attributes(o, d, t_max, tri_idx, tris: TriangleArrays):
+    """Recompute the watertight test for each ray's WINNING triangle —
+    O(N) instead of O(N·T·3) — and derive (p, n, uv, p_error) from the same
+    single vertex gather (at 10k-row tables each per-lane gather costs
+    ~2.4 ms/1M rays on TPU, so gathering the vertex tables once matters).
+
+    Default uv chart is (0,0),(1,0),(1,1) — the reference's parsers never
+    populate uvs (triangle.rs:69-77). p_error is the γ₇ barycentric bound
+    (triangle.rs:259-261)."""
     p0 = take_small(tris.p0, tri_idx)
     p1 = take_small(tris.p1, tri_idx)
     p2 = take_small(tris.p2, tri_idx)
     kz, sx, sy, sz = ray_shear(d)
     _t, b, _ok = watertight_core(o, kz, sx, sy, sz, t_max, p0, p1, p2)
-    return b
-
-
-def triangle_hit_attributes(tri_idx, b, tris: TriangleArrays):
-    """Reconstruct (p, n, uv, p_error) for per-ray winning triangles.
-
-    tri_idx: (N,) i32; b: (N,3) barycentrics. Default uv chart is
-    (0,0),(1,0),(1,1) — the reference's parsers never populate uvs
-    (triangle.rs:69-77).
-    """
-    p0 = take_small(tris.p0, tri_idx)
-    p1 = take_small(tris.p1, tri_idx)
-    p2 = take_small(tris.p2, tri_idx)
     b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
     p = b0 * p0 + b1 * p1 + b2 * p2
     n = normalize(cross(p0 - p2, p1 - p2))
@@ -392,7 +385,6 @@ def intersect_brute(
         oh_t = jnp.arange(tt.shape[1], dtype=jnp.int32)[None, :] == tri_best[:, None]
         tri_t = jnp.min(tt, axis=-1)
         tri_hit = jnp.any(tok & oh_t, axis=-1)
-        tri_b = winner_bary(o, d, t_max, tri_best, tris)
     if have_sph:
         st, sok = sphere_intersect_t(o, d, t_max, sph)
         sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
@@ -419,7 +411,7 @@ def intersect_brute(
         return Hit(t_out, hit_prim, p, n, uv, p_error)
 
     if have_tris:
-        tp, tn, tuv, terr = triangle_hit_attributes(tri_best, tri_b, tris)
+        tp, tn, tuv, terr = triangle_winner_attributes(o, d, t_max, tri_best, tris)
         m = use_tri[:, None]
         p = jnp.where(m, tp, p)
         n = jnp.where(m, tn, n)
@@ -438,6 +430,33 @@ def intersect_brute(
         hit_prim = jnp.where(use_sph, take_small(sph.prim, sph_best), hit_prim)
 
     return Hit(t_out, hit_prim, p, n, uv, p_error)
+
+
+def intersect_tprim_brute(o, d, t_max, tris: TriangleArrays, sph: SphereArrays):
+    """Slim closest-hit: (t, prim) only — no attribute reconstruction.
+    Used by the NEE MIS leg, which needs just the hit identity and distance
+    (the light's own table supplies its geometry)."""
+    n_rays = o.shape[0]
+    t_out = jnp.broadcast_to(jnp.asarray(FLOAT_MAX), (n_rays,))
+    prim = jnp.full((n_rays,), -1, jnp.int32)
+    if tris.count > 0:
+        tt, _, tok = triangle_intersect_t(o, d, t_max, tris, with_bary=False)
+        tri_best = jnp.argmin(tt, axis=-1).astype(jnp.int32)
+        oh = jnp.arange(tt.shape[1], dtype=jnp.int32)[None, :] == tri_best[:, None]
+        tri_t = jnp.min(tt, axis=-1)
+        tri_hit = jnp.any(tok & oh, axis=-1)
+        t_out = jnp.where(tri_hit, tri_t, t_out)
+        prim = jnp.where(tri_hit, take_small(tris.prim, tri_best), prim)
+    if sph.count > 0:
+        st, sok = sphere_intersect_t(o, d, t_max, sph)
+        sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
+        oh = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
+        sph_t = jnp.min(st, axis=-1)
+        sph_hit = jnp.any(sok & oh, axis=-1)
+        use = sph_hit & (sph_t < t_out)
+        t_out = jnp.where(use, sph_t, t_out)
+        prim = jnp.where(use, take_small(sph.prim, sph_best), prim)
+    return t_out, prim
 
 
 def intersect_predicate_brute(o, d, t_max, tris: TriangleArrays, sph: SphereArrays):

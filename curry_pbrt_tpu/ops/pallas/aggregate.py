@@ -1,39 +1,65 @@
-"""Pallas-backed aggregate: dense closest/any-hit with VMEM-tiled triangles.
+"""Pallas-backed aggregate: cluster-culled closest/any-hit.
 
-Drop-in replacement for the jnp brute intersector (ops/intersect.py) and the
-flat-BVH traversal (ops/bvh.py) for medium scenes: the triangle test runs in
-the Pallas kernel (O(N+T) HBM traffic instead of the jnp path's O(N·T)
-intermediates, which XLA pads minor-dim 3 → 128 lanes — a 42× memory blowup
-that OOMs at 32k rays × 2k tris), spheres run through the jnp dense test
-(sphere counts are tiny in every reference scene), and hit attributes are
-reconstructed only for each ray's winning primitive.
+Drop-in replacement for the jnp brute intersector (ops/intersect.py) that
+scales to 10k+ triangle scenes: triangles are Morton-sorted host-side so
+contiguous kernel blocks are spatially tight, each block carries an AABB,
+and the kernel skips whole (ray-block × tri-block) tiles whose cluster AABB
+no ray can enter at its current best t (see ops/pallas/intersect_kernel.py).
+HBM traffic is O(N + T) (the jnp dense path's O(N·T) intermediates get
+padded minor-dim 3 → 128 lanes by XLA — a 42× memory blowup).
+
+Spheres run through the jnp dense test (sphere counts are tiny in every
+reference scene), and hit attributes are reconstructed only for each ray's
+winning primitive.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 from curry_pbrt_tpu.ops import intersect as isect
 from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
+    block_aabbs,
+    morton_order,
     tri_any_hit_pallas,
     tri_closest_hit_pallas,
 )
 
 
 def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays):
-    """Returns (intersect, predicate) callables matching the brute API."""
-    have_tris = tris.count > 0
-    have_sph = sph.count > 0
-    tri_valid = tris.prim >= 0 if have_tris else None
+    """Returns (intersect, predicate, intersect_tprim) callables matching
+    the brute API."""
+    # "have" means VALID rows, not table rows: scenes keep 1 padding row in
+    # empty tables (compiler), and an all-invalid table must not reach the
+    # kernel (no work to do; also hedges a flaky TPU-worker fault observed
+    # with all-padding tiles)
+    have_tris = bool((np.asarray(tris.prim) >= 0).any())
+    have_sph = bool((np.asarray(sph.prim) >= 0).any())
     # Mosaic only compiles on TPU; everywhere else (the 8-device CPU test
     # platform) the kernel runs in interpret mode — same math, same results.
     interp = jax.default_backend() != "tpu"
 
+    if have_tris:
+        # Morton-sort triangles host-side; all kernel-side indices are in
+        # block order, and the permuted TriangleArrays carries prim ids so
+        # Hit.prim needs no inverse mapping.
+        order = morton_order(tris.p0, tris.p1, tris.p2)
+        tris = isect.TriangleArrays(
+            jnp.asarray(np.asarray(tris.p0)[order]),
+            jnp.asarray(np.asarray(tris.p1)[order]),
+            jnp.asarray(np.asarray(tris.p2)[order]),
+            jnp.asarray(np.asarray(tris.prim)[order]),
+        )
+        tri_valid = tris.prim >= 0
+        aabbs = jnp.asarray(block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid))
+
     def _tri_closest(o, d, t_max):
         t, idx = tri_closest_hit_pallas(
-            o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, interpret=interp
+            o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
+            interpret=interp,
         )
         return t, idx, idx >= 0
 
@@ -67,14 +93,10 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
 
         if have_tris:
             safe_idx = jnp.clip(tri_idx, 0, tris.count - 1)
-            # winner-only watertight re-test to recover barycentrics (same
-            # trick as the BVH attribute pass, ops/bvh.py)
-            p0 = jnp.take(tris.p0, safe_idx, axis=0)
-            p1 = jnp.take(tris.p1, safe_idx, axis=0)
-            p2 = jnp.take(tris.p2, safe_idx, axis=0)
-            perm, sx, sy, sz = isect.ray_shear(d)
-            _t, b, _ok = isect.watertight_core(o, perm, sx, sy, sz, t_max, p0, p1, p2)
-            tp, tn, tuv, terr = isect.triangle_hit_attributes(safe_idx, b, tris)
+            # winner-only re-test + attributes, single vertex gather (O(N))
+            tp, tn, tuv, terr = isect.triangle_winner_attributes(
+                o, d, t_max, safe_idx, tris
+            )
             m = use_tri[:, None]
             p = jnp.where(m, tp, p)
             n = jnp.where(m, tn, n)
@@ -98,11 +120,48 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         hit = jnp.zeros(o.shape[:1], bool)
         if have_tris:
             hit = hit | tri_any_hit_pallas(
-                o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, interpret=interp
+                o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
+                interpret=interp,
             )
         if have_sph:
             _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
             hit = hit | jnp.any(sok, axis=-1)
         return hit
 
-    return intersect, predicate
+    def intersect_tprim(o, d, t_max):
+        """(t, prim) only — skips the winner-bary + attribute pass."""
+        N = o.shape[0]
+        t_out = jnp.broadcast_to(jnp.asarray(FLOAT_MAX), (N,))
+        prim = jnp.full((N,), -1, jnp.int32)
+        if have_tris:
+            tri_t, tri_idx, tri_hit = _tri_closest(o, d, t_max)
+            safe_idx = jnp.clip(tri_idx, 0, tris.count - 1)
+            t_out = jnp.where(tri_hit, tri_t, t_out)
+            prim = jnp.where(tri_hit, jnp.take(tris.prim, safe_idx), prim)
+        if have_sph:
+            st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
+            sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
+            oh = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
+            sph_t = jnp.min(st, axis=-1)
+            sph_hit = jnp.any(sok & oh, axis=-1)
+            use = sph_hit & (sph_t < t_out)
+            t_out = jnp.where(use, sph_t, t_out)
+            prim = jnp.where(use, jnp.take(sph.prim, sph_best), prim)
+        return t_out, prim
+
+    def _detached(fn):
+        """Geometry gradients are detached through the kernel (pallas_call
+        has no AD rule, and the differentiable-rendering design detaches
+        visibility/sample positions — DESIGN.md; BASELINE north star
+        promises parameter, not geometry-edge, gradients)."""
+
+        def wrapped(o, d, t_max):
+            return fn(
+                jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d),
+                jax.lax.stop_gradient(t_max),
+            )
+
+        return wrapped
+
+    return _detached(intersect), _detached(predicate), _detached(intersect_tprim)

@@ -1,27 +1,40 @@
-"""Pallas TPU kernel: dense watertight ray–triangle intersection.
+"""Pallas TPU kernel: cluster-culled watertight ray–triangle intersection.
 
-The jnp brute path (ops/intersect.py:triangle_intersect_t) materializes the
-full (N rays × T tris) t/bary/ok tensors and then argmin-reduces them —
-XLA fuses some of it, but the O(N·T) intermediates still round-trip HBM and
-the reduction is a separate pass. This kernel keeps the whole (ray-block ×
-tri-block) tile in VMEM, reduces to the per-ray running (t_best, tri_best)
-in registers, and never writes an O(N·T) tensor: HBM traffic is O(N + T)
-per block pair.
+Two-level structure, TPU-native (no per-lane gathers, no divergent stacks —
+contrast the reference's recursive per-ray BVH, aggregate/bvh.rs:151-190):
 
-Math is the reference's watertight Möller test (translate–permute–shear +
-edge functions + conservative fp-error rejection, geometry/shape/
-triangle.rs:194-262 / pbrt §3.9) — identical to watertight_core so the
-equivalence tests can compare bit-level behavior on shared inputs.
+  level 1  triangles are pre-sorted into Morton order so each BLOCK_T-sized
+           contiguous block is spatially tight; every block carries a
+           precomputed AABB ("cluster").
+  level 2  the grid is 1-D over ray blocks; the whole tri table is
+           VMEM-resident and the kernel sweeps clusters with an in-kernel
+           fori_loop. Before testing a cluster it slab-tests the BLOCK_R
+           rays against the cluster AABB with each ray's CURRENT best t and
+           skips the tile's triangle math with @pl.when if no ray can
+           enter — a skipped cluster costs one cheap slab test, no grid
+           step, no DMA. Block-level predication replaces per-ray tree
+           divergence: rays in a block are coherent (pixel-major layout),
+           so most clusters skip.
 
-Data layout (chosen for TPU tiling: last dim = 128 lanes):
-  rays:  (16, N) f32 — rows 0-2 origin xyz, 3-5 shear sx/sy/sz,
-         6 t_max, 7-9 one-hot-encoded permutation kx/ky/kz as floats,
-         rest padding. Rays live on the LANE axis so every per-ray scalar
-         broadcasts as a (1, BLOCK_R) row.
-  tris:  (T, 16) f32 — cols 0-8 p0/p1/p2 xyz, 9 valid flag (>0 = real,
-         ≤0 = padding), rest padding. Triangles live on the SUBLANE axis
-         so per-tri scalars broadcast as (BLOCK_T, 1) columns.
-The (BLOCK_T, BLOCK_R) edge-function tile is the compute shape.
+The per-tile triangle math is the reference's watertight Möller test
+(translate–permute–shear + edge functions + conservative fp-error
+rejection, geometry/shape/triangle.rs:194-262 / pbrt §3.9) — identical to
+ops/intersect.py:watertight_core so equivalence tests can compare behavior
+on shared inputs. The accumulated per-ray t tightens as tri blocks stream,
+so later clusters behind the current hit are culled too (the BVH's
+shrinking-t_max, bvh.rs:161, expressed block-wise).
+
+HBM traffic is O(N + T) per pass (no (N,T) intermediates).
+
+Data layout (last dim = 128 lanes):
+  rays:  (16, N) f32 — rows 0-2 origin, 3-5 shear sx/sy/sz, 6 t_max,
+         7-9 one-hot permutation kx/ky/kz, 10-12 inv_d (slab test),
+         rest padding. Rays on the LANE axis: per-ray scalars broadcast as
+         (1, BLOCK_R) rows.
+  tris:  (T, 16) f32 — cols 0-8 p0/p1/p2, 9 valid flag. Triangles on the
+         SUBLANE axis: per-tri scalars broadcast as (BLOCK_T, 1) columns.
+  cluster_aabb: (T/BLOCK_T, 8) f32 — bmin xyz, bmax xyz per tri block
+         (empty blocks get an inverted box that can never be entered).
 """
 
 from __future__ import annotations
@@ -39,11 +52,13 @@ from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float, gamma
 _G2 = Float(gamma(2))
 _G3 = Float(gamma(3))
 _G5 = Float(gamma(5))
+_T_SCALE = Float(1.0 + 2.0 * gamma(3))  # conservative slab widening (bounds.rs:303-323)
 
 RAY_ROWS = 16
 TRI_COLS = 16
-BLOCK_R = 512  # rays per tile (lanes; multiple of 128)
-BLOCK_T = 128  # triangles per tile (sublanes; multiple of 8)
+BLOCK_R = 1024  # rays per tile (swept: 512/1024/2048 -> 1024 best on v5e)
+BLOCK_T = 64  # tris per cluster (swept: 32/64/128 -> 64 best on v5e)
+MAX_VMEM_TRIS = 500_000  # whole tri table is VMEM-resident (16 f32/tri)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,7 +66,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_rays(o, d, t_max) -> jnp.ndarray:
-    """(N,3),(N,3),(N,) → (16, N_pad) f32 with the shear precomputed.
+    """(N,3),(N,3),(N,) → (16, N_pad) f32 with shear + inv_d precomputed.
 
     Mirrors ops/intersect.py:ray_shear — kz = argmax |d| (permutation),
     shear maps the ray to +z.
@@ -62,12 +77,14 @@ def pack_rays(o, d, t_max) -> jnp.ndarray:
     kz, sx, sy, sz = ray_shear(d)
     kx = (kz + 1) % 3
     ky = (kx + 1) % 3
+    inv_d = 1.0 / jnp.where(d == 0, Float(1e-30), d)
     rows = jnp.stack(
         [
             o[:, 0], o[:, 1], o[:, 2],
             sx, sy, sz,
             t_max,
             kx.astype(Float), ky.astype(Float), kz.astype(Float),
+            inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
         ],
         axis=0,
     )
@@ -92,18 +109,93 @@ def pack_tris(p0, p1, p2, valid) -> jnp.ndarray:
     return jnp.concatenate([cols, pad], axis=0)
 
 
-def _tile_test(rays_ref, tris_ref):
-    """Watertight test on one (BLOCK_T, BLOCK_R) tile.
+def block_aabbs(p0, p1, p2, valid) -> np.ndarray:
+    """Host-side per-BLOCK_T cluster AABBs → (T_pad/BLOCK_T, 8) f32.
 
-    Returns (t, ok): t is FLOAT_MAX where no acceptable hit.
+    Invalid/padding rows are excluded; an all-invalid block gets an inverted
+    box (bmin=+1, bmax=-1) so its slab test can never pass.
     """
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    valid = np.asarray(valid, bool)
+    t = p0.shape[0]
+    t_pad = _round_up(max(t, 1), BLOCK_T)
+    nb = t_pad // BLOCK_T
+    out = np.zeros((nb, 8), np.float32)
+    tmin = np.minimum(np.minimum(p0, p1), p2)
+    tmax = np.maximum(np.maximum(p0, p1), p2)
+    for b in range(nb):
+        sl = slice(b * BLOCK_T, min((b + 1) * BLOCK_T, t))
+        v = valid[sl]
+        if v.any():
+            out[b, 0:3] = tmin[sl][v].min(axis=0)
+            out[b, 3:6] = tmax[sl][v].max(axis=0)
+        else:
+            out[b, 0:3] = 1.0
+            out[b, 3:6] = -1.0
+    return out
+
+
+def morton_order(p0, p1, p2) -> np.ndarray:
+    """Host-side Morton (Z-curve) permutation of triangle centroids so
+    contiguous BLOCK_T blocks are spatially tight clusters."""
+    c = (np.asarray(p0, np.float64) + np.asarray(p1) + np.asarray(p2)) / 3.0
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    ext = np.where(hi - lo > 0, hi - lo, 1.0)
+    q = np.clip(((c - lo) / ext * 1023.0).astype(np.uint64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    key = (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+    return np.argsort(key, kind="stable").astype(np.int32)
+
+
+def _cluster_enter(aabb_ref, j, rays_ref, t_best):
+    """Slab test of the ray block vs tri block j's AABB → (1, BLOCK_R)
+    bool. Conservative (1+2γ₃) widening as in bounds.rs:303-323.
+
+    aabb_ref is the WHOLE (n_blocks, 8) table in SMEM."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    ix = rays_ref[10:11, :]
+    iy = rays_ref[11:12, :]
+    iz = rays_ref[12:13, :]
+    bmin_x = aabb_ref[j, 0]
+    bmin_y = aabb_ref[j, 1]
+    bmin_z = aabb_ref[j, 2]
+    bmax_x = aabb_ref[j, 3]
+    bmax_y = aabb_ref[j, 4]
+    bmax_z = aabb_ref[j, 5]
+
+    def slab(blo, bhi, o, inv):
+        t0 = (blo - o) * inv
+        t1 = (bhi - o) * inv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1) * _T_SCALE
+
+    nx, fx = slab(bmin_x, bmax_x, ox, ix)
+    ny, fy = slab(bmin_y, bmax_y, oy, iy)
+    nz, fz = slab(bmin_z, bmax_z, oz, iz)
+    tn = jnp.maximum(nx, jnp.maximum(ny, nz))
+    tf = jnp.minimum(fx, jnp.minimum(fy, fz))
+    return (tn <= tf) & (tn < t_best) & (tf > 0.0)
+
+
+def _tile_test(rays_ref, tris_ref, t_best):
+    """Watertight test on one (BLOCK_T, BLOCK_R) tile against per-ray
+    current-best t. Returns (t, ok): t is FLOAT_MAX where no hit."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
     sx = rays_ref[3:4, :]
     sy = rays_ref[4:5, :]
     sz = rays_ref[5:6, :]
-    t_max = rays_ref[6:7, :]
     kxf = rays_ref[7:8, :]
     kyf = rays_ref[8:9, :]
     kzf = rays_ref[9:10, :]
@@ -146,8 +238,8 @@ def _tile_test(rays_ref, tris_ref):
     # (Mosaic can't select between i1 vectors, so this is the logical
     # expansion of the reference's det-sign branch.)
     neg_det = det < 0
-    in_range = (neg_det & (t_scaled < 0) & (t_scaled >= t_max * det)) | (
-        ~neg_det & (t_scaled > 0) & (t_scaled <= t_max * det)
+    in_range = (neg_det & (t_scaled < 0) & (t_scaled >= t_best * det)) | (
+        ~neg_det & (t_scaled > 0) & (t_scaled <= t_best * det)
     )
     safe_det = jnp.where(det == 0, 1.0, det)
     inv_det = 1.0 / safe_det
@@ -172,85 +264,125 @@ def _tile_test(rays_ref, tris_ref):
     return jnp.where(ok, t, FLOAT_MAX), ok
 
 
-def _closest_kernel(rays_ref, tris_ref, t_ref, idx_ref):
-    j = pl.program_id(1)
+def _closest_kernel(aabb_ref, rays_ref, tris_ref, t_ref, idx_ref):
+    """One ray block vs ALL tri clusters: the whole Morton-ordered tri table
+    is VMEM-resident; the cluster sweep is an in-kernel fori_loop so a
+    skipped cluster costs one slab test — no grid-step or DMA overhead."""
+    n_blocks = tris_ref.shape[0] // BLOCK_T
+    t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
+    idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = jnp.full_like(t_ref, FLOAT_MAX)
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
+    def body(j, _):
+        t_best = t_ref[:]
+        enter = _cluster_enter(aabb_ref, j, rays_ref, t_best)
 
-    t, _ok = _tile_test(rays_ref, tris_ref)
-    t_min = jnp.min(t, axis=0, keepdims=True)  # (1, BLOCK_R)
-    row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # (1, BLOCK_R)
-    tri_idx = j * BLOCK_T + row
+        @pl.when(jnp.any(enter))
+        def _():
+            off = pl.multiple_of(j * BLOCK_T, BLOCK_T)
+            tri_tile = tris_ref[pl.ds(off, BLOCK_T), :]
+            t, _ok = _tile_test(rays_ref, tri_tile, t_best)
+            t_min = jnp.min(t, axis=0, keepdims=True)  # (1, BLOCK_R)
+            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            tri_idx = j * BLOCK_T + row
 
-    better = t_min < t_ref[:]
-    t_ref[:] = jnp.where(better, t_min, t_ref[:])
-    idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
+            better = t_min < t_ref[:]
+            t_ref[:] = jnp.where(better, t_min, t_ref[:])
+            idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
-def _any_kernel(rays_ref, tris_ref, hit_ref):
-    j = pl.program_id(1)
+def _any_kernel(aabb_ref, rays_ref, tris_ref, hit_ref):
+    n_blocks = tris_ref.shape[0] // BLOCK_T
+    hit_ref[:] = jnp.zeros_like(hit_ref)
+    t_max = rays_ref[6:7, :]
 
-    @pl.when(j == 0)
-    def _():
-        hit_ref[:] = jnp.zeros_like(hit_ref)
+    def body(j, _):
+        not_hit = hit_ref[:] == 0
+        enter = _cluster_enter(aabb_ref, j, rays_ref, t_max) & not_hit
 
-    _t, ok = _tile_test(rays_ref, tris_ref)
-    any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-    hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
+        @pl.when(jnp.any(enter))
+        def _():
+            off = pl.multiple_of(j * BLOCK_T, BLOCK_T)
+            tri_tile = tris_ref[pl.ds(off, BLOCK_T), :]
+            _t, ok = _tile_test(rays_ref, tri_tile, t_max)
+            any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+            hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
+    n_pad, t_pad = rays.shape[1], tris.shape[0]
+    if t_pad > MAX_VMEM_TRIS:
+        raise ValueError(
+            f"triangle table ({t_pad}) exceeds the VMEM-resident kernel limit"
+            f" ({MAX_VMEM_TRIS}); chunk the scene or extend the kernel with a"
+            " tri-table grid dimension"
+        )
+    grid = (n_pad // BLOCK_R,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole AABB table
+            pl.BlockSpec((RAY_ROWS, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole tri table
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # tri table + per-block buffers (cap, not allocation)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(aabbs, rays, tris)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, *, interpret=False):
-    """Closest-hit over a triangle soup. o/d: (N,3), t_max: (N,);
-    p0/p1/p2: (T,3), valid: (T,) bool. Returns (t: (N,), tri: (N,) i32,
-    tri == -1 on miss)."""
+def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *, interpret=False):
+    """Closest-hit over a Morton-ordered triangle soup. o/d: (N,3),
+    t_max: (N,); p0/p1/p2: (T,3) in BLOCK order, valid: (T,) bool;
+    aabbs: (T_pad/BLOCK_T, 8). Returns (t: (N,), tri: (N,) i32 block-order
+    index, -1 on miss)."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max)
     tris = pack_tris(p0, p1, p2, valid)
-    n_pad, t_pad = rays.shape[1], tris.shape[0]
-    grid = (n_pad // BLOCK_R, t_pad // BLOCK_T)
-
-    t_out, idx_out = pl.pallas_call(
-        _closest_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RAY_ROWS, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_T, TRI_COLS), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
+    n_pad = rays.shape[1]
+    t_out, idx_out = _grid_call(
+        _closest_kernel, rays, tris, aabbs,
+        out_shapes=[
             jax.ShapeDtypeStruct((1, n_pad), Float),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         interpret=interpret,
-    )(rays, tris)
-    return t_out[0, :n], idx_out[0, :n]
+    )
+    t = t_out[0, :n]
+    idx = idx_out[0, :n]
+    # lanes that never beat t_max keep idx -1; t reported as FLOAT_MAX
+    return jnp.where(idx >= 0, t, FLOAT_MAX), idx
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, *, interpret=False):
+def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *, interpret=False):
     """Any-hit (shadow) test. Returns (N,) bool."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max)
     tris = pack_tris(p0, p1, p2, valid)
-    n_pad, t_pad = rays.shape[1], tris.shape[0]
-    grid = (n_pad // BLOCK_R, t_pad // BLOCK_T)
-
-    hit = pl.pallas_call(
-        _any_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RAY_ROWS, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_T, TRI_COLS), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+    n_pad = rays.shape[1]
+    hit = _grid_call(
+        _any_kernel, rays, tris, aabbs,
+        out_shapes=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        out_specs=pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rays, tris)
+    )
     return hit[0, :n] > 0

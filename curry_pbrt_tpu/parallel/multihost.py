@@ -35,7 +35,13 @@ def initialize(coordinator: Optional[str], num_processes: int, process_id: int):
 
 def render_distributed(scene_path, overrides=None, coordinator=None,
                        num_processes=1, process_id=0, output=None):
-    """Render with rays sharded over every chip of every host."""
+    """Render with rays sharded over every chip of every host.
+
+    Multi-controller semantics: every process compiles the same scene and
+    the same program; pixel inputs become GLOBAL sharded arrays (each
+    process materializes only its devices' rows via make_array_from_callback)
+    and the per-process output rows are allgathered so every host holds the
+    full film; host 0 writes the PNG."""
     jax = initialize(coordinator, num_processes, process_id)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -51,20 +57,31 @@ def render_distributed(scene_path, overrides=None, coordinator=None,
     xres, yres = scene.settings.resolution
     n_pixels = xres * yres
     pad = (-n_pixels) % n_dev
+    n_padded = n_pixels + pad
 
-    plan = plan_render(scene, chunk_pixels=(n_pixels + pad) // 1)
+    plan = plan_render(scene, chunk_pixels=n_padded)
     mesh = make_mesh()
     render = make_sharded_render(plan, mesh)
 
     ys, xs = np.mgrid[0:yres, 0:xres]
-    px = np.pad(
+    px_np = np.pad(
         np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32), ((0, pad), (0, 0))
     )
-    po = np.pad(plan.pixel_offsets.reshape(-1), (0, pad))
-    out = render(scene.init_params, jnp.asarray(po), jnp.asarray(px))
+    po_np = np.pad(plan.pixel_offsets.reshape(-1), (0, pad))
+    shard = NamedSharding(mesh, P("rays"))
+    shard2 = NamedSharding(mesh, P("rays", None))
+    po = jax.make_array_from_callback(po_np.shape, shard, lambda i: po_np[i])
+    px = jax.make_array_from_callback(px_np.shape, shard2, lambda i: px_np[i])
+    out = render(scene.init_params, po, px)
 
-    # gather to host 0 and write
-    img = np.asarray(jax.device_get(out))[:n_pixels].reshape(yres, xres, 3)
+    # assemble this process's contiguous rows, then allgather across hosts
+    shards = sorted(out.addressable_shards, key=lambda s: s.index[0].start or 0)
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    if num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        rows = np.asarray(multihost_utils.process_allgather(rows, tiled=True))
+    img = rows[:n_pixels].reshape(yres, xres, 3)
     if process_id == 0:
         path = output or scene.settings.filename
         write_png(path, np.asarray(F.to_srgb_u8(jnp.asarray(img))))

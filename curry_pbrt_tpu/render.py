@@ -41,22 +41,34 @@ log = get_logger(__name__)
 
 
 def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.ShadeContext:
-    """Build the static shading context; select the intersector backend."""
+    """Build the static shading context; select the intersector backend.
+
+    Default: the cluster-culled Pallas kernel on TPU (fastest at every scene
+    size measured — 2.24s vs brute 2.44s on the 512² Cornell bench, and the
+    only viable path at 10k tris); on CPU hosts Mosaic can't compile, so
+    small scenes use the dense jnp brute path and large ones the flat BVH."""
     tris, sph = scene.tris, scene.spheres
 
-    backend = intersector or ("brute" if tris.count + sph.count <= 256 else "bvh")
+    if intersector is None:
+        if jax.default_backend() == "tpu":
+            backend = "pallas"
+        else:
+            backend = "brute" if tris.count + sph.count <= 256 else "bvh"
+    else:
+        backend = intersector
     if backend == "brute":
         inter = partial(isect.intersect_brute, tris=tris, sph=sph)
         pred = partial(isect.intersect_predicate_brute, tris=tris, sph=sph)
+        tprim = partial(isect.intersect_tprim_brute, tris=tris, sph=sph)
     elif backend == "bvh":
         from curry_pbrt_tpu.ops.bvh import build_flat_bvh, make_bvh_intersectors
 
         bvh = build_flat_bvh(scene)
-        inter, pred = make_bvh_intersectors(bvh, tris, sph)
+        inter, pred, tprim = make_bvh_intersectors(bvh, tris, sph)
     elif backend == "pallas":
         from curry_pbrt_tpu.ops.pallas.aggregate import make_pallas_intersectors
 
-        inter, pred = make_pallas_intersectors(tris, sph)
+        inter, pred, tprim = make_pallas_intersectors(tris, sph)
     else:
         raise ValueError(f"unknown intersector {backend!r}")
 
@@ -85,6 +97,7 @@ def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.Sha
         mat_is_all_delta=all_delta,
         intersect=inter,
         predicate=pred,
+        intersect_tprim=tprim,
         prim_mat=scene.prim_mat,
         prim_light=scene.prim_light,
     )

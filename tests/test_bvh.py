@@ -54,7 +54,7 @@ class TestBVHEquivalence:
     def test_closest_hit_matches_brute(self, seed):
         scene = random_tri_scene(seed=seed)
         bvh = build_flat_bvh(scene)
-        inter, pred = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
+        inter, pred, _tprim = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
         o, d, t = random_rays(512, seed=seed + 10)
         hb = isect.intersect_brute(o, d, t, scene.tris, scene.spheres)
         hv = inter(o, d, t)
@@ -73,7 +73,7 @@ class TestBVHEquivalence:
     def test_predicate_matches_brute(self):
         scene = random_tri_scene(seed=3)
         bvh = build_flat_bvh(scene)
-        inter, pred = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
+        inter, pred, _tprim = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
         o, d, t = random_rays(512, seed=20)
         pb = np.asarray(
             isect.intersect_predicate_brute(o, d, t, scene.tris, scene.spheres)
@@ -84,7 +84,7 @@ class TestBVHEquivalence:
     def test_t_max_respected(self):
         scene = random_tri_scene(seed=4)
         bvh = build_flat_bvh(scene)
-        inter, pred = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
+        inter, pred, _tprim = make_bvh_intersectors(bvh, scene.tris, scene.spheres)
         o, d, _ = random_rays(256, seed=30)
         t = jnp.full((256,), 2.0)
         hb = isect.intersect_brute(o, d, t, scene.tris, scene.spheres)

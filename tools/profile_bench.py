@@ -131,13 +131,15 @@ def main():
 
     @jax.jit
     def shade_eval_only(uv, wo_l, wi_l):
-        return I.shade_eval(ctx, mat_ids, uv, params, wo_l, wi_l)
+        fl = I.build_family_lobes(ctx, mat_ids, uv, params)
+        return I.shade_eval(ctx, fl, mat_ids, wo_l, wi_l)
 
     rec("shade_eval (all mats)", shade_eval_only, hit.uv, wo_l, wo_l)
 
     @jax.jit
     def shade_sample_only(uv, wo_l, ub, ue):
-        return I.shade_sample(ctx, mat_ids, uv, params, wo_l, ub, ue)
+        fl = I.build_family_lobes(ctx, mat_ids, uv, params)
+        return I.shade_sample(ctx, fl, mat_ids, wo_l, ub, ue)
 
     rec("shade_sample (all mats)", shade_sample_only, hit.uv, wo_l, u1, u2)
 

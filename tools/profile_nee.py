@@ -99,7 +99,8 @@ chosen_delta = m.take_small(jnp.asarray(ctx.lights.is_delta), light_idx)
 # piece 2: light-strategy shading+shadow
 def piece_light_strat(u):
     wi_l = m.to_local(ls.wi, fx, fy, hit.n)
-    f, f_pdf, f_pres = I.shade_eval(ctx, mat_ids, uv, params, wo_l, wi_l)
+    fl = I.build_family_lobes(ctx, mat_ids, uv, params)
+    f, f_pdf, f_pres = I.shade_eval(ctx, fl, mat_ids, wo_l, wi_l)
     occluded = ctx.predicate(ls.vis_o, ls.vis_d, ls.vis_tmax)
     cos_term = jnp.abs(m.dot(n, ls.wi))
     w = jnp.where(chosen_delta, 1.0, m.power_heuristic(ls.pdf, f_pdf))
@@ -112,9 +113,8 @@ per_rep("light strategy (eval+shadow+weights)", piece_light_strat, u1)
 
 # piece 3: bsdf-strategy
 def piece_bsdf_strat(u):
-    wi2_l, f2, f2_pdf, f2_pres = I.shade_sample_nondelta(
-        ctx, mat_ids, uv, params, wo_l, u, u
-    )
+    fl = I.build_family_lobes(ctx, mat_ids, uv, params)
+    wi2_l, f2, f2_pdf, f2_pres = I.shade_sample_nondelta(ctx, fl, mat_ids, wo_l, u, u)
     wi2 = m.to_world(wi2_l, fx, fy, hit.n)
     o2 = offset_point_by_error(p, n, perr, wi2)
     hit2 = ctx.intersect(o2, wi2, jnp.full((N,), FLOAT_MAX))

@@ -113,25 +113,24 @@ def main():
 
     def shade_eval_body(c):
         wi_l = c
-        f, pdf, pres = I.shade_eval(ctx, mat_ids, hit.uv, params, wo_l, wi_l)
+        fl = I.build_family_lobes(ctx, mat_ids, hit.uv, params)
+        f, pdf, pres = I.shade_eval(ctx, fl, mat_ids, wo_l, wi_l)
         return m.normalize(wi_l + 1e-6 * f)
 
     per_rep("shade_eval", shade_eval_body, wo_l)
 
     def shade_sample_nd_body(c):
         u = c
-        wi, f, pdf, pres = I.shade_sample_nondelta(
-            ctx, mat_ids, hit.uv, params, wo_l, u, u
-        )
+        fl = I.build_family_lobes(ctx, mat_ids, hit.uv, params)
+        wi, f, pdf, pres = I.shade_sample_nondelta(ctx, fl, mat_ids, wo_l, u, u)
         return jnp.clip(u + 1e-7 * pdf, 0.0, 1.0)
 
     per_rep("shade_sample_nondelta", shade_sample_nd_body, u1)
 
     def shade_sample_body(c):
         u = c
-        wi, f, pdf, pres, isd = I.shade_sample(
-            ctx, mat_ids, hit.uv, params, wo_l, u, u
-        )
+        fl = I.build_family_lobes(ctx, mat_ids, hit.uv, params)
+        wi, f, pdf, pres, isd = I.shade_sample(ctx, fl, mat_ids, wo_l, u, u)
         return jnp.clip(u + 1e-7 * pdf, 0.0, 1.0)
 
     per_rep("shade_sample (full)", shade_sample_body, u1)
@@ -171,7 +170,8 @@ def main():
                              "nee_v", "bsdf_bucket", "bsdf_extra", "rr")}
         nee = I.uniform_sample_one_light(ctx, params, hit2, mi, -d2, fr, us)
         wo_l2 = m.to_local(-d2, fx2, fy2, hit2.n)
-        wi, f, pdf, pres, isd = I.shade_sample(ctx, mi, hit2.uv, params, wo_l2, u, u)
+        fl2 = I.build_family_lobes(ctx, mi, hit2.uv, params)
+        wi, f, pdf, pres, isd = I.shade_sample(ctx, fl2, mi, wo_l2, u, u)
         wiw = m.to_world(wi, fx2, fy2, hit2.n)
         o3 = offset_point_by_error(hit2.p, hit2.n, hit2.p_error, wiw)
         return o3, m.normalize(wiw + 1e-6 * nee), jnp.clip(u + 1e-7 * pdf, 0.0, 1.0)
