@@ -54,12 +54,18 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
             jnp.asarray(np.asarray(tris.prim)[order]),
         )
         tri_valid = tris.prim >= 0
-        aabbs = jnp.asarray(block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid))
+        # small scenes get 8-tri clusters so their handful of surfaces cull
+        # each other (a Cornell box inside one 64-tri cluster = zero culling,
+        # measured ~35% of the whole render); big scenes keep the swept 64
+        block_t = 8 if tris.count <= 512 else 64
+        aabbs = jnp.asarray(
+            block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid, block_t)
+        )
 
     def _tri_closest(o, d, t_max):
         t, idx = tri_closest_hit_pallas(
             o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-            interpret=interp,
+            interpret=interp, block_t=block_t,
         )
         return t, idx, idx >= 0
 
@@ -121,7 +127,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         if have_tris:
             hit = hit | tri_any_hit_pallas(
                 o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-                interpret=interp,
+                interpret=interp, block_t=block_t,
             )
         if have_sph:
             _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)

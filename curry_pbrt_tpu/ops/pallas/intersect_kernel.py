@@ -57,7 +57,9 @@ _T_SCALE = Float(1.0 + 2.0 * gamma(3))  # conservative slab widening (bounds.rs:
 RAY_ROWS = 16
 TRI_COLS = 16
 BLOCK_R = 1024  # rays per tile (swept: 512/1024/2048 -> 1024 best on v5e)
-BLOCK_T = 64  # tris per cluster (swept: 32/64/128 -> 64 best on v5e)
+BLOCK_T = 64  # default tris/cluster (swept 32/64/128 on the 10k mesh -> 64);
+# small scenes pass block_t=8 so even a Cornell box splits into cullable
+# clusters (one 64-tri cluster = zero culling)
 MAX_VMEM_TRIS = 500_000  # whole tri table is VMEM-resident (16 f32/tri)
 
 
@@ -95,7 +97,7 @@ def pack_rays(o, d, t_max) -> jnp.ndarray:
     return jnp.pad(rows, ((0, 0), (0, n_pad - n)))
 
 
-def pack_tris(p0, p1, p2, valid) -> jnp.ndarray:
+def pack_tris(p0, p1, p2, valid, block_t: int = BLOCK_T) -> jnp.ndarray:
     """(T,3)×3 + (T,) bool → (T_pad, 16) f32."""
     t = p0.shape[0]
     cols = jnp.concatenate(
@@ -104,36 +106,36 @@ def pack_tris(p0, p1, p2, valid) -> jnp.ndarray:
     cols = jnp.concatenate(
         [cols, jnp.zeros((t, TRI_COLS - cols.shape[1]), Float)], axis=-1
     )
-    t_pad = _round_up(max(t, 1), BLOCK_T)
+    t_pad = _round_up(max(t, 1), block_t)
     pad = jnp.zeros((t_pad - t, TRI_COLS), Float).at[:, 9].set(-1.0)
     return jnp.concatenate([cols, pad], axis=0)
 
 
-def block_aabbs(p0, p1, p2, valid) -> np.ndarray:
-    """Host-side per-BLOCK_T cluster AABBs → (T_pad/BLOCK_T, 8) f32.
+def block_aabbs(p0, p1, p2, valid, block_t: int = BLOCK_T) -> np.ndarray:
+    """Host-side per-block_t cluster AABBs → (T_pad/block_t, 8) f32.
 
-    Invalid/padding rows are excluded; an all-invalid block gets an inverted
-    box (bmin=+1, bmax=-1) so its slab test can never pass.
+    Invalid/padding rows are excluded; an all-invalid block gets a NaN box —
+    every slab comparison with NaN is false, so it can never be entered (an
+    inverted ±1 box would act as a phantom [-1,1]³ box under the min/max
+    slab form).
     """
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
     valid = np.asarray(valid, bool)
     t = p0.shape[0]
-    t_pad = _round_up(max(t, 1), BLOCK_T)
-    nb = t_pad // BLOCK_T
+    t_pad = _round_up(max(t, 1), block_t)
+    nb = t_pad // block_t
     out = np.zeros((nb, 8), np.float32)
+    out[:, 0:6] = np.nan
     tmin = np.minimum(np.minimum(p0, p1), p2)
     tmax = np.maximum(np.maximum(p0, p1), p2)
     for b in range(nb):
-        sl = slice(b * BLOCK_T, min((b + 1) * BLOCK_T, t))
+        sl = slice(b * block_t, min((b + 1) * block_t, t))
         v = valid[sl]
         if v.any():
             out[b, 0:3] = tmin[sl][v].min(axis=0)
             out[b, 3:6] = tmax[sl][v].max(axis=0)
-        else:
-            out[b, 0:3] = 1.0
-            out[b, 3:6] = -1.0
     return out
 
 
@@ -264,56 +266,62 @@ def _tile_test(rays_ref, tris_ref, t_best):
     return jnp.where(ok, t, FLOAT_MAX), ok
 
 
-def _closest_kernel(aabb_ref, rays_ref, tris_ref, t_ref, idx_ref):
-    """One ray block vs ALL tri clusters: the whole Morton-ordered tri table
-    is VMEM-resident; the cluster sweep is an in-kernel fori_loop so a
-    skipped cluster costs one slab test — no grid-step or DMA overhead."""
-    n_blocks = tris_ref.shape[0] // BLOCK_T
-    t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
-    idx_ref[:] = jnp.full_like(idx_ref, -1)
+def _make_closest_kernel(block_t: int):
+    def _closest_kernel(aabb_ref, rays_ref, tris_ref, t_ref, idx_ref):
+        """One ray block vs ALL tri clusters: the Morton-ordered tri table
+        is VMEM-resident and the cluster sweep is an in-kernel fori_loop so
+        a skipped cluster costs one slab test — no grid step, no DMA. (A
+        two-level super-cluster variant was tried and measured net-negative
+        at ≤10k tris; see PERF.md.)"""
+        t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    def body(j, _):
-        t_best = t_ref[:]
-        enter = _cluster_enter(aabb_ref, j, rays_ref, t_best)
+        def cluster_body(j, _):
+            t_best = t_ref[:]
+            enter = _cluster_enter(aabb_ref, j, rays_ref, t_best)
 
-        @pl.when(jnp.any(enter))
-        def _():
-            off = pl.multiple_of(j * BLOCK_T, BLOCK_T)
-            tri_tile = tris_ref[pl.ds(off, BLOCK_T), :]
-            t, _ok = _tile_test(rays_ref, tri_tile, t_best)
-            t_min = jnp.min(t, axis=0, keepdims=True)  # (1, BLOCK_R)
-            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
-            tri_idx = j * BLOCK_T + row
+            @pl.when(jnp.any(enter))
+            def _():
+                off = pl.multiple_of(j * block_t, block_t)
+                tri_tile = tris_ref[pl.ds(off, block_t), :]
+                t, _ok = _tile_test(rays_ref, tri_tile, t_best)
+                t_min = jnp.min(t, axis=0, keepdims=True)
+                row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+                tri_idx = j * block_t + row
 
-            better = t_min < t_ref[:]
-            t_ref[:] = jnp.where(better, t_min, t_ref[:])
-            idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
+                better = t_min < t_ref[:]
+                t_ref[:] = jnp.where(better, t_min, t_ref[:])
+                idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
 
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+        jax.lax.fori_loop(0, aabb_ref.shape[0], cluster_body, 0)
+
+    return _closest_kernel
 
 
-def _any_kernel(aabb_ref, rays_ref, tris_ref, hit_ref):
-    n_blocks = tris_ref.shape[0] // BLOCK_T
-    hit_ref[:] = jnp.zeros_like(hit_ref)
-    t_max = rays_ref[6:7, :]
+def _make_any_kernel(block_t: int):
+    def _any_kernel(aabb_ref, rays_ref, tris_ref, hit_ref):
+        hit_ref[:] = jnp.zeros_like(hit_ref)
+        t_max = rays_ref[6:7, :]
 
-    def body(j, _):
-        not_hit = hit_ref[:] == 0
-        enter = _cluster_enter(aabb_ref, j, rays_ref, t_max) & not_hit
+        def cluster_body(j, _):
+            not_hit = hit_ref[:] == 0
+            enter = _cluster_enter(aabb_ref, j, rays_ref, t_max) & not_hit
 
-        @pl.when(jnp.any(enter))
-        def _():
-            off = pl.multiple_of(j * BLOCK_T, BLOCK_T)
-            tri_tile = tris_ref[pl.ds(off, BLOCK_T), :]
-            _t, ok = _tile_test(rays_ref, tri_tile, t_max)
-            any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-            hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
+            @pl.when(jnp.any(enter))
+            def _():
+                off = pl.multiple_of(j * block_t, block_t)
+                tri_tile = tris_ref[pl.ds(off, block_t), :]
+                _t, ok = _tile_test(rays_ref, tri_tile, t_max)
+                any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+                hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
 
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+        jax.lax.fori_loop(0, aabb_ref.shape[0], cluster_body, 0)
+
+    return _any_kernel
 
 
 def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
@@ -329,7 +337,7 @@ def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole AABB table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster AABBs
             pl.BlockSpec((RAY_ROWS, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole tri table
         ],
@@ -344,18 +352,19 @@ def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
     )(aabbs, rays, tris)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
+def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
+                           interpret=False, block_t=BLOCK_T):
     """Closest-hit over a Morton-ordered triangle soup. o/d: (N,3),
     t_max: (N,); p0/p1/p2: (T,3) in BLOCK order, valid: (T,) bool;
-    aabbs: (T_pad/BLOCK_T, 8). Returns (t: (N,), tri: (N,) i32 block-order
+    aabbs from block_aabbs. Returns (t: (N,), tri: (N,) i32 block-order
     index, -1 on miss)."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max)
-    tris = pack_tris(p0, p1, p2, valid)
+    tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
     t_out, idx_out = _grid_call(
-        _closest_kernel, rays, tris, aabbs,
+        _make_closest_kernel(block_t), rays, tris, aabbs,
         out_shapes=[
             jax.ShapeDtypeStruct((1, n_pad), Float),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
@@ -372,15 +381,16 @@ def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *, interpret=F
     return jnp.where(idx >= 0, t, FLOAT_MAX), idx
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
+def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
+                       interpret=False, block_t=BLOCK_T):
     """Any-hit (shadow) test. Returns (N,) bool."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max)
-    tris = pack_tris(p0, p1, p2, valid)
+    tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
     hit = _grid_call(
-        _any_kernel, rays, tris, aabbs,
+        _make_any_kernel(block_t), rays, tris, aabbs,
         out_shapes=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         out_specs=pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,

@@ -89,7 +89,8 @@ def test_padding_lanes_are_misses():
     o, d, t_max, p0, p1, p2 = _random_scene(3, n_rays=5, n_tris=3)
     valid = jnp.array([True, False, True])
     aabbs, _ = _aabbs(p0, p1, p2, valid)
-    t, idx = tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, interpret=True)
+    t, idx = tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs,
+                                    interpret=True)
     assert t.shape == (5,) and idx.shape == (5,)
     assert not np.any(np.asarray(idx) == 1)  # invalid tri never wins
 
