@@ -307,13 +307,13 @@ def path_trace(
             ]
         )
 
-    def emission(L, beta, gate, hit, d):
-        hit_light = m.take_small(ctx.prim_light, jnp.maximum(hit.prim, 0))
-        hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
+    def emission(L, beta, gate, hit_prim, hit_valid, d):
+        hit_light = m.take_small(ctx.prim_light, jnp.maximum(hit_prim, 0))
+        hit_light = jnp.where(hit_prim >= 0, hit_light, -1)
         le = LT.le_emitted(light_L, jnp.where(gate, hit_light, -1))
         L = L + beta * le
         esc = LT.le_out_scene_total(ctx.lights, ctx.env, light_L, d)
-        return L + jnp.where((gate & ~hit.valid)[:, None], beta * esc, 0.0)
+        return L + jnp.where((gate & ~hit_valid)[:, None], beta * esc, 0.0)
 
     def bounce_body(carry, u_rows):
         o, d, L, beta, active, specular, bounce, segments = carry
@@ -322,7 +322,7 @@ def path_trace(
         segments = segments + jnp.sum(active.astype(Float))
 
         gate = active & ((bounce == 0) | specular)
-        L = emission(L, beta, gate, hit, d)
+        L = emission(L, beta, gate, hit.prim, hit.valid, d)
 
         mat_ids = m.take_small(ctx.prim_mat, jnp.maximum(hit.prim, 0))
         mat_ids = jnp.where(hit.prim >= 0, mat_ids, -1)
@@ -377,11 +377,12 @@ def path_trace(
         carry, _ = jax.lax.scan(bounce_body, carry, u_all)
     o, d, L, beta, active, specular, bounce, segments = carry
 
-    # final iteration (bounce == max_depth): emission only, then stop
-    hit = ctx.intersect(o, d, jnp.full((N,), FLOAT_MAX))
+    # final iteration (bounce == max_depth): emission only, then stop —
+    # slim (t, prim) traversal; no attributes needed past the last shade
+    _t_f, prim_f = ctx.intersect_tprim(o, d, jnp.full((N,), FLOAT_MAX))
     segments = segments + jnp.sum(active.astype(Float))
     gate = active & ((bounce == 0) | specular)
-    L = emission(L, beta, gate, hit, d)
+    L = emission(L, beta, gate, prim_f, prim_f >= 0, d)
 
     if count_rays:
         return L, segments

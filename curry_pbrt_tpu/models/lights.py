@@ -55,21 +55,25 @@ _G6 = gamma(6)
 
 
 class LightArrays(NamedTuple):
-    """(L,) rows; unused fields hold zeros for other types."""
+    """(L,) rows; unused fields hold zeros for other types.
 
-    type_id: jnp.ndarray  # (L,) i32
-    is_delta: jnp.ndarray  # (L,) bool
+    Convention: HOST numpy arrays (the scene compiler builds them and they
+    enter jit as constants — device round trips under the axon tunnel cost
+    seconds, and traced indexing of tiny tables is a known bug source)."""
+
+    type_id: np.ndarray  # (L,) i32
+    is_delta: np.ndarray  # (L,) bool
     # point: position / distant: unit direction w (light travels along +w)
-    vec: jnp.ndarray  # (L,3)
+    vec: np.ndarray  # (L,3)
     # area-tri world-space vertices
-    tri_p0: jnp.ndarray  # (L,3)
-    tri_p1: jnp.ndarray
-    tri_p2: jnp.ndarray
+    tri_p0: np.ndarray  # (L,3)
+    tri_p1: np.ndarray
+    tri_p2: np.ndarray
     # area-sphere object space
-    sph_o2w: jnp.ndarray  # (L,4,4)
-    sph_w2o: jnp.ndarray
-    sph_radius: jnp.ndarray  # (L,)
-    area: jnp.ndarray  # (L,) object-space area (tri or sphere)
+    sph_o2w: np.ndarray  # (L,4,4)
+    sph_w2o: np.ndarray
+    sph_radius: np.ndarray  # (L,)
+    area: np.ndarray  # (L,) object-space area (tri or sphere)
 
     @property
     def count(self) -> int:
@@ -98,13 +102,15 @@ class LightSample(NamedTuple):
 
 
 def empty_lights() -> LightArrays:
-    z3 = jnp.zeros((0, 3), Float)
+    # host numpy, like the compiler's LightArrays (the table is a static
+    # jit constant; mixing jnp/np conventions invites traced-indexing bugs)
+    z3 = np.zeros((0, 3), np.float32)
     return LightArrays(
-        type_id=jnp.zeros((0,), jnp.int32),
-        is_delta=jnp.zeros((0,), bool),
+        type_id=np.zeros((0,), np.int32),
+        is_delta=np.zeros((0,), bool),
         vec=z3, tri_p0=z3, tri_p1=z3, tri_p2=z3,
-        sph_o2w=jnp.zeros((0, 4, 4), Float), sph_w2o=jnp.zeros((0, 4, 4), Float),
-        sph_radius=jnp.zeros((0,), Float), area=jnp.zeros((0,), Float),
+        sph_o2w=np.zeros((0, 4, 4), np.float32), sph_w2o=np.zeros((0, 4, 4), np.float32),
+        sph_radius=np.zeros((0,), np.float32), area=np.zeros((0,), np.float32),
     )
 
 

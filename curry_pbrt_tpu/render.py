@@ -130,22 +130,30 @@ def plan_render(
     perms = make_permutations(cfg.seed)
     offs = compute_pixel_offsets(cfg)[:yres, :xres]
     if chunk_pixels is None:
-        # ~1M rays/chunk: measured on TPU v5e, per-ray cost at 32k-ray chunks
-        # is ~30× worse than at ≥512k (fixed per-op overheads dominate small
-        # launches). Memory model: the BRUTE intersector materializes a few
-        # (rays × prims) f32 buffers per traversal, so cap rays·prims at 2^26
-        # (~0.25 GB/buffer) when brute is selected; BVH/Pallas paths are
-        # O(rays) and keep the full 1M. Override with CURRY_CHUNK_RAYS.
+        # Backend-dependent sweet spots measured on TPU v5e (cornell 512²,
+        # 64 spp, depth 5; see PERF.md):
+        #   pallas: 32k-ray chunks — 19% faster than 1M (smaller working
+        #           set between kernels; per-launch overhead is tiny);
+        #   brute:  ~1M rays (per-op fixed costs dominate small launches —
+        #           32k chunks measured ~30× worse), capped by the dense
+        #           (rays × prims) buffer memory model at rays·prims ≤ 2^26;
+        #   bvh:    1M (lockstep while_loop amortizes over lanes).
+        # Override with CURRY_CHUNK_RAYS.
         import os
 
+        backend_used = intersector or (
+            "pallas" if jax.default_backend() == "tpu"
+            else ("brute" if scene.tris.count + scene.spheres.count <= 256 else "bvh")
+        )
         env = os.environ.get("CURRY_CHUNK_RAYS")
         if env is not None:
             target_rays = int(env)
+        elif backend_used == "pallas":
+            target_rays = 1 << 15
         else:
             target_rays = 1 << 20
             n_prims = scene.tris.count + scene.spheres.count
-            brute = intersector == "brute" or (intersector is None and n_prims <= 256)
-            if brute and n_prims > 0:
+            if backend_used == "brute" and n_prims > 0:
                 target_rays = min(target_rays, max((1 << 26) // n_prims, 1 << 15))
         chunk_pixels = max(min(target_rays // max(spp, 1), xres * yres), 256)
     dim_base = 4 if scene.camera.has_lens else 2
