@@ -55,9 +55,14 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         )
         tri_valid = tris.prim >= 0
         # small scenes get 8-tri clusters so their handful of surfaces cull
-        # each other (a Cornell box inside one 64-tri cluster = zero culling,
-        # measured ~35% of the whole render); big scenes keep the swept 64
-        block_t = 8 if tris.count <= 512 else 64
+        # each other (a Cornell box inside one 64-tri cluster = zero culling)
+        # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
+        # fewer per-block overheads win); big scenes keep 64-tri clusters
+        # and 1024-ray blocks (tighter blocks -> higher cluster-skip rates —
+        # 2048 measured ~2x slower on the 10k mesh)
+        small = tris.count <= 512
+        block_t = 8 if small else 64
+        block_r = 2048 if small else 1024
         aabbs = jnp.asarray(
             block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid, block_t)
         )
@@ -65,7 +70,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     def _tri_closest(o, d, t_max):
         t, idx = tri_closest_hit_pallas(
             o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-            interpret=interp, block_t=block_t,
+            interpret=interp, block_t=block_t, block_r=block_r,
         )
         return t, idx, idx >= 0
 
@@ -127,7 +132,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         if have_tris:
             hit = hit | tri_any_hit_pallas(
                 o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-                interpret=interp, block_t=block_t,
+                interpret=interp, block_t=block_t, block_r=block_r,
             )
         if have_sph:
             _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)

@@ -56,7 +56,10 @@ _T_SCALE = Float(1.0 + 2.0 * gamma(3))  # conservative slab widening (bounds.rs:
 
 RAY_ROWS = 16
 TRI_COLS = 16
-BLOCK_R = 1024  # rays per tile (swept: 512/1024/2048 -> 1024 best on v5e)
+BLOCK_R = 1024  # default rays per tile. Swept at the 32k-ray chunk size:
+# large scenes want 1024 (tighter ray blocks -> higher cluster-skip rates:
+# 2048 costs ~2x on the 10k mesh); small scenes, where the handful of big
+# surfaces can't cull anyway, want 2048 (fewer per-block overheads).
 BLOCK_T = 64  # default tris/cluster (swept 32/64/128 on the 10k mesh -> 64);
 # small scenes pass block_t=8 so even a Cornell box splits into cullable
 # clusters (one 64-tri cluster = zero culling)
@@ -67,7 +70,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pack_rays(o, d, t_max) -> jnp.ndarray:
+def pack_rays(o, d, t_max, block_r: int = BLOCK_R) -> jnp.ndarray:
     """(N,3),(N,3),(N,) → (16, N_pad) f32 with shear + inv_d precomputed.
 
     Mirrors ops/intersect.py:ray_shear — kz = argmax |d| (permutation),
@@ -93,7 +96,7 @@ def pack_rays(o, d, t_max) -> jnp.ndarray:
     rows = jnp.concatenate(
         [rows, jnp.zeros((RAY_ROWS - rows.shape[0], n), Float)], axis=0
     )
-    n_pad = _round_up(max(n, 1), BLOCK_R)
+    n_pad = _round_up(max(n, 1), block_r)
     return jnp.pad(rows, ((0, 0), (0, n_pad - n)))
 
 
@@ -324,7 +327,8 @@ def _make_any_kernel(block_t: int):
     return _any_kernel
 
 
-def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
+def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret,
+               block_r=BLOCK_R):
     n_pad, t_pad = rays.shape[1], tris.shape[0]
     if t_pad > MAX_VMEM_TRIS:
         raise ValueError(
@@ -332,13 +336,13 @@ def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
             f" ({MAX_VMEM_TRIS}); chunk the scene or extend the kernel with a"
             " tri-table grid dimension"
         )
-    grid = (n_pad // BLOCK_R,)
+    grid = (n_pad // block_r,)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster AABBs
-            pl.BlockSpec((RAY_ROWS, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_ROWS, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole tri table
         ],
         out_specs=out_specs,
@@ -352,15 +356,15 @@ def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret):
     )(aabbs, rays, tris)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "block_r"))
 def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
-                           interpret=False, block_t=BLOCK_T):
+                           interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
     """Closest-hit over a Morton-ordered triangle soup. o/d: (N,3),
     t_max: (N,); p0/p1/p2: (T,3) in BLOCK order, valid: (T,) bool;
     aabbs from block_aabbs. Returns (t: (N,), tri: (N,) i32 block-order
     index, -1 on miss)."""
     n = o.shape[0]
-    rays = pack_rays(o, d, t_max)
+    rays = pack_rays(o, d, t_max, block_r)
     tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
     t_out, idx_out = _grid_call(
@@ -370,10 +374,11 @@ def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
+        block_r=block_r,
     )
     t = t_out[0, :n]
     idx = idx_out[0, :n]
@@ -381,18 +386,19 @@ def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
     return jnp.where(idx >= 0, t, FLOAT_MAX), idx
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "block_r"))
 def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
-                       interpret=False, block_t=BLOCK_T):
+                       interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
     """Any-hit (shadow) test. Returns (N,) bool."""
     n = o.shape[0]
-    rays = pack_rays(o, d, t_max)
+    rays = pack_rays(o, d, t_max, block_r)
     tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
     hit = _grid_call(
         _make_any_kernel(block_t), rays, tris, aabbs,
         out_shapes=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        out_specs=pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
+        block_r=block_r,
     )
     return hit[0, :n] > 0
