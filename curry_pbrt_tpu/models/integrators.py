@@ -49,7 +49,7 @@ from curry_pbrt_tpu.models.materials import (
 )
 from curry_pbrt_tpu.ops import bsdf as B
 from curry_pbrt_tpu.ops import math as m
-from curry_pbrt_tpu.ops.halton import HaltonConfig, halton_sample, halton_sample_2d
+from curry_pbrt_tpu.ops.halton import HaltonConfig, halton_sample
 from curry_pbrt_tpu.ops.intersect import Hit, offset_point_by_error
 
 DIMS_PER_BOUNCE = 8

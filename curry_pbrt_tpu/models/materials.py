@@ -22,7 +22,7 @@ named materials). Two reference quirks reproduced deliberately:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ use |wi.z|/π.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax.numpy as jnp

@@ -17,13 +17,13 @@ cancellation instead).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float, gamma
-from curry_pbrt_tpu.ops.math import cross, dot, length, length_sq, normalize, take_small
+from curry_pbrt_tpu.ops.math import cross, dot, length, normalize, take_small
 
 _G2 = gamma(2)
 _G3 = gamma(3)

@@ -30,8 +30,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from curry_pbrt_tpu.dtypes import Float
-
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "rays") -> Mesh:
     devs = jax.devices()

@@ -13,14 +13,13 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import partial
-from pathlib import Path
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
+from curry_pbrt_tpu.dtypes import Float
 from curry_pbrt_tpu.models import integrators as I
 from curry_pbrt_tpu.models.camera import generate_rays
 from curry_pbrt_tpu.models.materials import build_families, lobe_kinds
