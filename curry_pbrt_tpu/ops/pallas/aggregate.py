@@ -29,9 +29,16 @@ from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
 )
 
 
-def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays):
+def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays,
+                             view_origin=None):
     """Returns (intersect, predicate, intersect_tprim) callables matching
-    the brute API."""
+    the brute API.
+
+    view_origin (optional world-space camera position): clusters are swept
+    front-to-back from it, so early hits tighten per-ray t and cull the
+    clusters behind them — the cluster-level analog of the reference BVH's
+    near-child-first traversal (bvh.rs:174-178). Scene-static, free at
+    build; primary and shadow rays benefit most."""
     # "have" means VALID rows, not table rows: scenes keep 1 padding row in
     # empty tables (compiler), and an all-invalid table must not reach the
     # kernel (no work to do; also hedges a flaky TPU-worker fault observed
@@ -53,7 +60,6 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
             jnp.asarray(np.asarray(tris.p2)[order]),
             jnp.asarray(np.asarray(tris.prim)[order]),
         )
-        tri_valid = tris.prim >= 0
         # small scenes get 8-tri clusters so their handful of surfaces cull
         # each other (a Cornell box inside one 64-tri cluster = zero culling)
         # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
@@ -63,6 +69,35 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         small = tris.count <= 512
         block_t = 8 if small else 64
         block_r = 2048 if small else 1024
+
+        if view_origin is not None:
+            # pad to a whole number of clusters, then order clusters
+            # front-to-back from the camera (padding rows are invalid and
+            # excluded from cluster AABBs)
+            p0, p1, p2, prim = (np.asarray(tris.p0), np.asarray(tris.p1),
+                                np.asarray(tris.p2), np.asarray(tris.prim))
+            t = p0.shape[0]
+            pad = (-t) % block_t
+            if pad:
+                z = np.zeros((pad, 3), np.float32)
+                p0 = np.concatenate([p0, z]); p1 = np.concatenate([p1, z])
+                p2 = np.concatenate([p2, z])
+                prim = np.concatenate([prim, np.full((pad,), -1, np.int32)])
+            nb = len(p0) // block_t
+            cent = ((p0 + p1 + p2) / 3.0).reshape(nb, block_t, 3)
+            cvalid = (prim.reshape(nb, block_t) >= 0)[..., None]
+            csum = np.maximum((cvalid).sum(axis=1), 1)
+            cmean = (cent * cvalid).sum(axis=1) / csum
+            dist = np.linalg.norm(cmean - np.asarray(view_origin, np.float64), axis=-1)
+            corder = np.argsort(dist, kind="stable")
+            row_order = (corder[:, None] * block_t +
+                         np.arange(block_t)[None, :]).reshape(-1)
+            p0, p1, p2, prim = p0[row_order], p1[row_order], p2[row_order], prim[row_order]
+            tris = isect.TriangleArrays(
+                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(prim)
+            )
+
+        tri_valid = tris.prim >= 0
         aabbs = jnp.asarray(
             block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid, block_t)
         )

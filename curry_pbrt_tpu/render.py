@@ -67,7 +67,8 @@ def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.Sha
     elif backend == "pallas":
         from curry_pbrt_tpu.ops.pallas.aggregate import make_pallas_intersectors
 
-        inter, pred, tprim = make_pallas_intersectors(tris, sph)
+        cam_pos = np.asarray(scene.camera.camera_to_world)[:3, 3]
+        inter, pred, tprim = make_pallas_intersectors(tris, sph, view_origin=cam_pos)
     else:
         raise ValueError(f"unknown intersector {backend!r}")
 
