@@ -49,7 +49,6 @@ def _build(scene, res, spp, depth, integrator=None, intersector=None):
     from curry_pbrt_tpu.sceneio.compiler import compile_scene_file
     from curry_pbrt_tpu.render import (
         plan_render,
-        _render_chunk,
         _render_chunk_stats,
         _chunked_pixel_arrays,
     )
@@ -62,18 +61,12 @@ def _build(scene, res, spp, depth, integrator=None, intersector=None):
     plan = plan_render(sc, intersector=intersector)
     po_np, px_np, _ = _chunked_pixel_arrays(plan)
     params = sc.init_params
-    count = sc.settings.integrator == "path"
 
     def render_all(params, po, px):
-        if count:
-            imgs, segs = jax.lax.map(
-                lambda c: _render_chunk_stats(plan, params, c[0], c[1]), (po, px)
-            )
-            return jnp.sum(imgs), jnp.sum(segs)
-        imgs = jax.lax.map(
-            lambda c: _render_chunk(plan, params, c[0], c[1]), (po, px)
+        imgs, segs = jax.lax.map(
+            lambda c: _render_chunk_stats(plan, params, c[0], c[1]), (po, px)
         )
-        return jnp.sum(imgs), jnp.zeros((), jnp.float32)
+        return jnp.sum(imgs), jnp.sum(segs)
 
     fn = jax.jit(render_all)
     po, px = jnp.asarray(po_np), jnp.asarray(px_np)

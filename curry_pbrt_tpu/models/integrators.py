@@ -399,6 +399,7 @@ def direct_light_trace(
     max_depth: int,
     dim_base: int,
     max_delta_lobes: int,
+    count_rays: bool = False,
 ):
     """DirectLightIntegrator::li — NEE at the hit plus recursion through the
     delta lobes (direct_light.rs:12-42).
@@ -415,9 +416,14 @@ def direct_light_trace(
     light_L = params["light_L"]
 
     def level(o, d, weight, live, depth):
+        """Returns (radiance, segments): segments counts traced ray segments
+        over useful lanes (closest-hit per live lane + NEE shadow/MIS pair
+        per shaded lane) — same accounting as path_trace's, so bench.py's
+        rays/sec unit is uniform across integrators (VERDICT r3 item 8)."""
         N = o.shape[0]
         out = jnp.zeros((N, 3), Float)
         hit = ctx.intersect(o, d, jnp.full((N,), FLOAT_MAX))
+        segments = jnp.sum(live.astype(Float))
         hit_light = m.take_small(ctx.prim_light, jnp.maximum(hit.prim, 0))
         hit_light = jnp.where(hit.prim >= 0, hit_light, -1)
         mat_ids = m.take_small(ctx.prim_mat, jnp.maximum(hit.prim, 0))
@@ -439,6 +445,7 @@ def direct_light_trace(
             ctx, params, hit, mat_ids, wo, frame, u, fam_lobes
         )
         out = out + jnp.where(has_mat[:, None], weight * nee, 0.0)
+        segments = segments + 2.0 * jnp.sum(has_mat.astype(Float))
 
         if depth + 1 < max_depth and max_delta_lobes > 0:
             fx, fy, fz = frame
@@ -466,8 +473,13 @@ def direct_light_trace(
             wnext = jnp.where(
                 blive[:, None], weight * bf * (cosw / safe_pdf)[:, None], 0.0
             )
-            out = out + level(bo, bwi, wnext, blive, depth + 1)
-        return out
+            sub_out, sub_seg = level(bo, bwi, wnext, blive, depth + 1)
+            out = out + sub_out
+            segments = segments + sub_seg
+        return out, segments
 
     N = o.shape[0]
-    return level(o, d, jnp.ones((N, 3), Float), jnp.ones((N,), bool), 0)
+    out, segments = level(o, d, jnp.ones((N, 3), Float), jnp.ones((N,), bool), 0)
+    if count_rays:
+        return out, segments
+    return out

@@ -292,7 +292,15 @@ def _make_closest_kernel(block_t: int):
                 row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
                 tri_idx = j * block_t + row
 
-                better = t_min < t_ref[:]
+                # strict improvement, EXCEPT the first hit may land exactly
+                # at the incoming t_max (the brute path's watertight in_range
+                # accepts t <= t_max; best-t init = t_max would report it as
+                # a miss — r3 advisor boundary finding). FLOAT_MAX guard
+                # keeps no-hit tiles (t_min == FLOAT_MAX == t_ref when
+                # t_max is unbounded) from writing a phantom index.
+                better = (t_min < t_ref[:]) | (
+                    (t_min == t_ref[:]) & (idx_ref[:] < 0) & (t_min < FLOAT_MAX)
+                )
                 t_ref[:] = jnp.where(better, t_min, t_ref[:])
                 idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
 

@@ -39,22 +39,39 @@ from curry_pbrt_tpu.utils.logging import get_logger, progress
 log = get_logger(__name__)
 
 
-def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.ShadeContext:
-    """Build the static shading context; select the intersector backend.
+# The threaded/gather-based flat-BVH traversal is only validated on TPU at
+# Cornell scale; at 10k tris it crashes/stalls the chip (per-lane gathers run
+# at ~0.4G rows/s — PERF.md r3 item 4). Fail fast instead of wedging the TPU.
+_BVH_TPU_MAX_PRIMS = 2048
 
-    Default: the cluster-culled Pallas kernel on TPU (fastest at every scene
-    size measured — 2.24s vs brute 2.44s on the 512² Cornell bench, and the
-    only viable path at 10k tris); on CPU hosts Mosaic can't compile, so
-    small scenes use the dense jnp brute path and large ones the flat BVH."""
+
+def default_backend(scene: Scene) -> str:
+    """Default intersector for a scene on the current JAX backend.
+
+    TPU: the cluster-culled Pallas kernel (fastest at every scene size
+    measured — see PERF.md — and the only viable path at 10k+ tris). CPU
+    hosts can't compile Mosaic natively, so small scenes use the dense jnp
+    brute path and large ones the flat BVH."""
+    n_prims = scene.tris.count + scene.spheres.count
+    if jax.default_backend() == "tpu":
+        return "pallas"
+    return "brute" if n_prims <= 256 else "bvh"
+
+
+def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.ShadeContext:
+    """Build the static shading context; select the intersector backend."""
     tris, sph = scene.tris, scene.spheres
 
-    if intersector is None:
-        if jax.default_backend() == "tpu":
-            backend = "pallas"
-        else:
-            backend = "brute" if tris.count + sph.count <= 256 else "bvh"
-    else:
-        backend = intersector
+    backend = intersector if intersector is not None else default_backend(scene)
+    if backend == "bvh" and jax.default_backend() == "tpu" and (
+        tris.count + sph.count > _BVH_TPU_MAX_PRIMS
+    ):
+        raise ValueError(
+            f"--intersector bvh is known to stall the TPU beyond "
+            f"{_BVH_TPU_MAX_PRIMS} primitives (this scene has "
+            f"{tris.count + sph.count}; see PERF.md) — use the default "
+            "'pallas' backend on TPU"
+        )
     if backend == "brute":
         inter = partial(isect.intersect_brute, tris=tris, sph=sph)
         pred = partial(isect.intersect_predicate_brute, tris=tris, sph=sph)
@@ -141,10 +158,7 @@ def plan_render(
         # Override with CURRY_CHUNK_RAYS.
         import os
 
-        backend_used = intersector or (
-            "pallas" if jax.default_backend() == "tpu"
-            else ("brute" if scene.tris.count + scene.spheres.count <= 256 else "bvh")
-        )
+        backend_used = intersector or default_backend(scene)
         env = os.environ.get("CURRY_CHUNK_RAYS")
         if env is not None:
             target_rays = int(env)
@@ -216,10 +230,19 @@ def _render_chunk_stats(plan: RenderPlan, params, pix_offsets, pix_xy):
         halton_sample_2d(indices, 2, cfg, plan.perms) if scene.camera.has_lens else None
     )
     o, d = generate_rays(scene.camera, film_xy, lens_u)
-    radiance, segments = I.path_trace(
-        plan.ctx, params, o, d, indices, cfg, plan.perms,
-        scene.settings.max_depth, plan.dim_base, count_rays=True,
-    )
+    if scene.settings.integrator == "path":
+        radiance, segments = I.path_trace(
+            plan.ctx, params, o, d, indices, cfg, plan.perms,
+            scene.settings.max_depth, plan.dim_base, count_rays=True,
+        )
+    elif scene.settings.integrator == "directlighting":
+        radiance, segments = I.direct_light_trace(
+            plan.ctx, params, o, d, indices, cfg, plan.perms,
+            scene.settings.max_depth, plan.dim_base, plan.max_delta_lobes(),
+            count_rays=True,
+        )
+    else:
+        raise ValueError(scene.settings.integrator)
     return F.accumulate_box(radiance, spp), segments
 
 
