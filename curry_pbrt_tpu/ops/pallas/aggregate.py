@@ -22,10 +22,9 @@ import jax.numpy as jnp
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 from curry_pbrt_tpu.ops import intersect as isect
 from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
-    block_aabbs,
-    morton_order,
-    tri_any_hit_pallas,
-    tri_closest_hit_pallas,
+    build_tri_tables,
+    tri_any_hit_tables,
+    tri_closest_hit_tables,
 )
 
 
@@ -50,63 +49,104 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     interp = jax.default_backend() != "tpu"
 
     if have_tris:
-        # Morton-sort triangles host-side; all kernel-side indices are in
-        # block order, and the permuted TriangleArrays carries prim ids so
-        # Hit.prim needs no inverse mapping.
-        order = morton_order(tris.p0, tris.p1, tris.p2)
-        tris = isect.TriangleArrays(
-            jnp.asarray(np.asarray(tris.p0)[order]),
-            jnp.asarray(np.asarray(tris.p1)[order]),
-            jnp.asarray(np.asarray(tris.p2)[order]),
-            jnp.asarray(np.asarray(tris.prim)[order]),
-        )
         # small scenes get 8-tri clusters so their handful of surfaces cull
         # each other (a Cornell box inside one 64-tri cluster = zero culling)
         # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
         # fewer per-block overheads win); big scenes keep 64-tri clusters
         # and 1024-ray blocks (tighter blocks -> higher cluster-skip rates —
         # 2048 measured ~2x slower on the 10k mesh)
+        import os
+
         small = tris.count <= 512
         block_t = 8 if small else 64
         block_r = 2048 if small else 1024
+        if os.environ.get("CURRY_BLOCK_R"):  # sweep knob (PERF.md)
+            block_r = int(os.environ["CURRY_BLOCK_R"])
 
-        if view_origin is not None:
-            # pad to a whole number of clusters, then order clusters
-            # front-to-back from the camera (padding rows are invalid and
-            # excluded from cluster AABBs)
-            p0, p1, p2, prim = (np.asarray(tris.p0), np.asarray(tris.p1),
-                                np.asarray(tris.p2), np.asarray(tris.prim))
-            t = p0.shape[0]
-            pad = (-t) % block_t
-            if pad:
-                z = np.zeros((pad, 3), np.float32)
-                p0 = np.concatenate([p0, z]); p1 = np.concatenate([p1, z])
-                p2 = np.concatenate([p2, z])
-                prim = np.concatenate([prim, np.full((pad,), -1, np.int32)])
-            nb = len(p0) // block_t
-            cent = ((p0 + p1 + p2) / 3.0).reshape(nb, block_t, 3)
-            cvalid = (prim.reshape(nb, block_t) >= 0)[..., None]
-            csum = np.maximum((cvalid).sum(axis=1), 1)
-            cmean = (cent * cvalid).sum(axis=1) / csum
-            dist = np.linalg.norm(cmean - np.asarray(view_origin, np.float64), axis=-1)
-            corder = np.argsort(dist, kind="stable")
-            row_order = (corder[:, None] * block_t +
-                         np.arange(block_t)[None, :]).reshape(-1)
-            p0, p1, p2, prim = p0[row_order], p1[row_order], p2[row_order], prim[row_order]
-            tris = isect.TriangleArrays(
-                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(prim)
+        # Morton sort + super-cluster grouping + front-to-back ordering +
+        # slab padding, all host-side (see build_tri_tables). Kernel-side
+        # indices are table-row order; the permuted TriangleArrays carries
+        # prim ids so Hit.prim needs no inverse mapping.
+        tables = build_tri_tables(
+            tris.p0, tris.p1, tris.p2, tris.prim,
+            block_t=block_t, view_origin=view_origin,
+        )
+        tris = isect.TriangleArrays(
+            jnp.asarray(tables.p0), jnp.asarray(tables.p1),
+            jnp.asarray(tables.p2), jnp.asarray(tables.prim),
+        )
+        tris16 = jnp.asarray(tables.tris16)
+        caabb = jnp.asarray(tables.cluster_aabbs)
+        saabb = jnp.asarray(tables.super_aabbs)
+        slab_aabb = jnp.asarray(tables.slab_aabbs)
+        kern_kw = dict(
+            block_t=block_t, clusters_per_slab=tables.clusters_per_slab,
+            use_supers=tables.use_supers, interpret=interp, block_r=block_r,
+        )
+
+        # Per-traversal ray reorder for large scenes: bounced rays are
+        # incoherent, so kernel ray-blocks stop skipping clusters after
+        # bounce ~2 (the mesh10k wall, PERF.md r3). Sorting rays by
+        # (origin Morton cell, direction octant) restores block coherence.
+        # r3 rejected this at 1M-ray chunks (28 ms sort + 27 ms/gather);
+        # at the 32k-ray Pallas chunks the same XLA ops cost ~0.06/0.08 ms
+        # (tools/probe_sort_cost.py) — ~0.4 ms/traversal all-in. Dead lanes
+        # (t_max 0) sort to the end so whole ray blocks of them skip
+        # everything.
+        sort_mode = os.environ.get("CURRY_SORT_MODE", "cell_oct")  # sweep knob
+        use_sort = not small and sort_mode != "off"
+        if use_sort:
+            sb = tables.slab_aabbs
+            lo3 = jnp.asarray(np.nanmin(sb[:, 0:3], axis=0))
+            hi3 = np.nanmax(sb[:, 3:6], axis=0)
+            ext3 = jnp.asarray(
+                np.maximum(hi3 - np.nanmin(sb[:, 0:3], axis=0), 1e-6)
             )
 
-        tri_valid = tris.prim >= 0
-        aabbs = jnp.asarray(
-            block_aabbs(tris.p0, tris.p1, tris.p2, tri_valid, block_t)
+    def _sort_key(o, d, t_max):
+        """(N,) u32: origin 8³ Morton cell (high bits) × direction octant
+        (low); dead lanes (t_max <= 0) last."""
+        q = jnp.clip(((o - lo3) / ext3 * 8.0).astype(jnp.uint32), 0, 7)
+
+        def spread3(x):  # 3 bits → every 3rd bit
+            x = (x | (x << 4)) & jnp.uint32(0x0C3)
+            x = (x | (x << 2)) & jnp.uint32(0x249)
+            return x
+
+        cell = (spread3(q[:, 0]) << 2) | (spread3(q[:, 1]) << 1) | spread3(q[:, 2])
+        octant = (
+            (d[:, 0] < 0).astype(jnp.uint32) * 4
+            + (d[:, 1] < 0).astype(jnp.uint32) * 2
+            + (d[:, 2] < 0).astype(jnp.uint32)
         )
+        if sort_mode == "cell_oct":
+            key = cell * 8 + octant
+        elif sort_mode == "oct_cell":
+            key = octant * 512 + cell
+        elif sort_mode == "cell":
+            key = cell
+        elif sort_mode == "oct":
+            key = octant
+        else:
+            raise ValueError(f"unknown CURRY_SORT_MODE {sort_mode!r}")
+        return jnp.where(t_max > 0, key, jnp.uint32(1 << 14))
+
+    def _sorted_rays(o, d, t_max):
+        perm = jnp.argsort(_sort_key(o, d, t_max))
+        inv = jnp.argsort(perm)
+        return o[perm], d[perm], t_max[perm], inv
 
     def _tri_closest(o, d, t_max):
-        t, idx = tri_closest_hit_pallas(
-            o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-            interpret=interp, block_t=block_t, block_r=block_r,
-        )
+        if use_sort:
+            o_s, d_s, tm_s, inv = _sorted_rays(o, d, t_max)
+            t, idx = tri_closest_hit_tables(
+                o_s, d_s, tm_s, tris16, caabb, saabb, slab_aabb, **kern_kw
+            )
+            t, idx = t[inv], idx[inv]
+        else:
+            t, idx = tri_closest_hit_tables(
+                o, d, t_max, tris16, caabb, saabb, slab_aabb, **kern_kw
+            )
         return t, idx, idx >= 0
 
     def intersect(o, d, t_max) -> isect.Hit:
@@ -165,10 +205,16 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     def predicate(o, d, t_max):
         hit = jnp.zeros(o.shape[:1], bool)
         if have_tris:
-            hit = hit | tri_any_hit_pallas(
-                o, d, t_max, tris.p0, tris.p1, tris.p2, tri_valid, aabbs,
-                interpret=interp, block_t=block_t, block_r=block_r,
-            )
+            if use_sort:
+                o_s, d_s, tm_s, inv = _sorted_rays(o, d, t_max)
+                h = tri_any_hit_tables(
+                    o_s, d_s, tm_s, tris16, caabb, saabb, slab_aabb, **kern_kw
+                )
+                hit = hit | h[inv]
+            else:
+                hit = hit | tri_any_hit_tables(
+                    o, d, t_max, tris16, caabb, saabb, slab_aabb, **kern_kw
+                )
         if have_sph:
             _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
             hit = hit | jnp.any(sok, axis=-1)

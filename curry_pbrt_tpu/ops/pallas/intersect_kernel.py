@@ -1,30 +1,46 @@
-"""Pallas TPU kernel: cluster-culled watertight ray–triangle intersection.
+"""Pallas TPU kernel: hierarchical cluster-culled watertight ray–triangle
+intersection with a streamed triangle table.
 
-Two-level structure, TPU-native (no per-lane gathers, no divergent stacks —
-contrast the reference's recursive per-ray BVH, aggregate/bvh.rs:151-190):
+Three-level cull hierarchy, TPU-native (no per-lane gathers, no divergent
+stacks — contrast the reference's recursive per-ray BVH,
+aggregate/bvh.rs:151-190):
 
-  level 1  triangles are pre-sorted into Morton order so each BLOCK_T-sized
+  level 0  triangles are pre-sorted into Morton order so each BLOCK_T-sized
            contiguous block is spatially tight; every block carries a
-           precomputed AABB ("cluster").
-  level 2  the grid is 1-D over ray blocks; the whole tri table is
-           VMEM-resident and the kernel sweeps clusters with an in-kernel
-           fori_loop. Before testing a cluster it slab-tests the BLOCK_R
-           rays against the cluster AABB with each ray's CURRENT best t and
-           skips the tile's triangle math with @pl.when if no ray can
-           enter — a skipped cluster costs one cheap slab test, no grid
-           step, no DMA. Block-level predication replaces per-ray tree
-           divergence: rays in a block are coherent (pixel-major layout),
-           so most clusters skip.
+           precomputed AABB ("cluster"). Before testing a cluster the
+           kernel slab-tests the BLOCK_R rays against its AABB with each
+           ray's CURRENT best t and skips the tile's triangle math with
+           @pl.when if no ray can enter. Block-level predication replaces
+           per-ray tree divergence: rays in a block are coherent
+           (pixel-major layout), so most clusters skip.
+  level 1  SUPER_G consecutive clusters form a "super-cluster" with its own
+           AABB; one slab test skips all SUPER_G child clusters. Enabled
+           per scene (use_supers) — measured net-negative below ~100
+           clusters, a clear win beyond (the O(log n) analog of the
+           reference BVH's upper levels).
+  level 2  clusters are grouped into fixed-size SLABS that stream through
+           VMEM on the grid's inner axis — the tri table lives in HBM and
+           Pallas double-buffers one slab at a time, so scene size is
+           bounded by HBM, not VMEM (the reference renders any PLY that
+           fits RAM, plymesh.rs:49-131; the r3 kernel erred at 500k tris).
+           Each slab also carries an AABB tested once per grid step.
+
+The grid is (n_ray_blocks, n_slabs) — the slab axis iterates fastest, so
+the per-ray-block best-t/idx output block stays VMEM-resident across a ray
+block's whole sweep (the standard Pallas accumulation pattern) and t
+tightens monotonically across slabs, supers, and clusters. Host-side,
+supers are ordered front-to-back from the camera and clusters front-to-back
+within each super (the cluster-level analog of the reference BVH's
+near-child-first traversal, bvh.rs:174-178), so early hits cull everything
+behind them.
 
 The per-tile triangle math is the reference's watertight Möller test
 (translate–permute–shear + edge functions + conservative fp-error
 rejection, geometry/shape/triangle.rs:194-262 / pbrt §3.9) — identical to
 ops/intersect.py:watertight_core so equivalence tests can compare behavior
-on shared inputs. The accumulated per-ray t tightens as tri blocks stream,
-so later clusters behind the current hit are culled too (the BVH's
-shrinking-t_max, bvh.rs:161, expressed block-wise).
+on shared inputs.
 
-HBM traffic is O(N + T) per pass (no (N,T) intermediates).
+HBM traffic is O(N + T·n_ray_blocks) per pass (no (N,T) intermediates).
 
 Data layout (last dim = 128 lanes):
   rays:  (16, N) f32 — rows 0-2 origin, 3-5 shear sx/sy/sz, 6 t_max,
@@ -33,13 +49,17 @@ Data layout (last dim = 128 lanes):
          (1, BLOCK_R) rows.
   tris:  (T, 16) f32 — cols 0-8 p0/p1/p2, 9 valid flag. Triangles on the
          SUBLANE axis: per-tri scalars broadcast as (BLOCK_T, 1) columns.
-  cluster_aabb: (T/BLOCK_T, 8) f32 — bmin xyz, bmax xyz per tri block
-         (empty blocks get an inverted box that can never be entered).
+  cluster/super/slab AABBs: (rows, 8) f32 in SMEM — bmin xyz, bmax xyz
+         (empty boxes are NaN: every slab comparison with NaN is false, so
+         they can never be entered — an inverted box would act as a
+         phantom box under the min/max slab form).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +83,11 @@ BLOCK_R = 1024  # default rays per tile. Swept at the 32k-ray chunk size:
 BLOCK_T = 64  # default tris/cluster (swept 32/64/128 on the 10k mesh -> 64);
 # small scenes pass block_t=8 so even a Cornell box splits into cullable
 # clusters (one 64-tri cluster = zero culling)
-MAX_VMEM_TRIS = 500_000  # whole tri table is VMEM-resident (16 f32/tri)
+SUPER_G = 8  # clusters per super-cluster (level-1 fan-out)
+SLAB_CLUSTERS = 256  # clusters per streamed slab: 16k tris/slab at
+# block_t=64 (1 MB VMEM double-buffered; 8 KB SMEM cluster table per slab)
+USE_SUPERS_MIN = 96  # enable the super-cluster level beyond this many
+# clusters (r3 measured an outer level net-negative on tiny scenes)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -117,11 +141,7 @@ def pack_tris(p0, p1, p2, valid, block_t: int = BLOCK_T) -> jnp.ndarray:
 def block_aabbs(p0, p1, p2, valid, block_t: int = BLOCK_T) -> np.ndarray:
     """Host-side per-block_t cluster AABBs → (T_pad/block_t, 8) f32.
 
-    Invalid/padding rows are excluded; an all-invalid block gets a NaN box —
-    every slab comparison with NaN is false, so it can never be entered (an
-    inverted ±1 box would act as a phantom [-1,1]³ box under the min/max
-    slab form).
-    """
+    Invalid/padding rows are excluded; an all-invalid block gets a NaN box."""
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
@@ -129,16 +149,29 @@ def block_aabbs(p0, p1, p2, valid, block_t: int = BLOCK_T) -> np.ndarray:
     t = p0.shape[0]
     t_pad = _round_up(max(t, 1), block_t)
     nb = t_pad // block_t
-    out = np.zeros((nb, 8), np.float32)
-    out[:, 0:6] = np.nan
+    pad = t_pad - t
+    if pad:
+        z = np.full((pad, 3), np.nan, np.float32)
+        p0, p1, p2 = (np.concatenate([a, z]) for a in (p0, p1, p2))
+        valid = np.concatenate([valid, np.zeros((pad,), bool)])
     tmin = np.minimum(np.minimum(p0, p1), p2)
     tmax = np.maximum(np.maximum(p0, p1), p2)
-    for b in range(nb):
-        sl = slice(b * block_t, min((b + 1) * block_t, t))
-        v = valid[sl]
-        if v.any():
-            out[b, 0:3] = tmin[sl][v].min(axis=0)
-            out[b, 3:6] = tmax[sl][v].max(axis=0)
+    nanv = np.where(valid[:, None], 0.0, np.nan).astype(np.float32)
+    out = np.zeros((nb, 8), np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        out[:, 0:3] = np.nanmin((tmin + nanv).reshape(nb, block_t, 3), axis=1)
+        out[:, 3:6] = np.nanmax((tmax + nanv).reshape(nb, block_t, 3), axis=1)
+    return out
+
+
+def union_boxes(boxes: np.ndarray) -> np.ndarray:
+    """(..., k, 8) NaN-aware AABB union → (..., 8); all-NaN → NaN box."""
+    out = np.zeros(boxes.shape[:-2] + (8,), np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out[..., 0:3] = np.nanmin(boxes[..., 0:3], axis=-2)
+        out[..., 3:6] = np.nanmax(boxes[..., 3:6], axis=-2)
     return out
 
 
@@ -161,23 +194,137 @@ def morton_order(p0, p1, p2) -> np.ndarray:
     return np.argsort(key, kind="stable").astype(np.int32)
 
 
-def _cluster_enter(aabb_ref, j, rays_ref, t_best):
-    """Slab test of the ray block vs tri block j's AABB → (1, BLOCK_R)
-    bool. Conservative (1+2γ₃) widening as in bounds.rs:303-323.
+@dataclasses.dataclass
+class TriTables:
+    """Host-built (numpy) kernel tables: Morton-ordered, front-to-back
+    super/cluster permuted, padded to whole slabs."""
 
-    aabb_ref is the WHOLE (n_blocks, 8) table in SMEM."""
+    p0: np.ndarray  # (T_pad, 3) final kernel row order
+    p1: np.ndarray
+    p2: np.ndarray
+    prim: np.ndarray  # (T_pad,) i32, -1 = padding
+    valid: np.ndarray  # (T_pad,) bool
+    tris16: np.ndarray  # (T_pad, 16) packed kernel layout
+    cluster_aabbs: np.ndarray  # (C, 8)
+    super_aabbs: np.ndarray  # (C // SUPER_G, 8)
+    slab_aabbs: np.ndarray  # (n_slabs, 8)
+    block_t: int
+    clusters_per_slab: int
+    use_supers: bool
+
+    @property
+    def n_slabs(self) -> int:
+        return self.slab_aabbs.shape[0]
+
+
+def _pack_tris_np(p0, p1, p2, valid) -> np.ndarray:
+    t = p0.shape[0]
+    out = np.zeros((t, TRI_COLS), np.float32)
+    out[:, 0:3] = p0
+    out[:, 3:6] = p1
+    out[:, 6:9] = p2
+    out[:, 9] = np.where(valid, 1.0, -1.0)
+    return out
+
+
+def build_tri_tables(
+    p0, p1, p2, prim,
+    block_t: int = BLOCK_T,
+    view_origin=None,
+    clusters_per_slab: int = SLAB_CLUSTERS,
+    use_supers=None,
+) -> TriTables:
+    """Morton-sort triangles, group block_t rows into clusters and SUPER_G
+    clusters into supers, order supers (and clusters within supers)
+    front-to-back from view_origin, pad to whole slabs, and precompute every
+    AABB level + the packed (T,16) table. Deterministic."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    prim = np.asarray(prim, np.int32)
+
+    order = morton_order(p0, p1, p2)
+    p0, p1, p2, prim = p0[order], p1[order], p2[order], prim[order]
+
+    t = p0.shape[0]
+    nc_raw = -(-max(t, 1) // block_t)
+    if use_supers is None:
+        use_supers = nc_raw > USE_SUPERS_MIN
+    use_supers = bool(use_supers)
+    if use_supers or nc_raw > clusters_per_slab:
+        # super grouping / multi-slab SMEM blocking need SUPER_G alignment
+        nc = _round_up(nc_raw, SUPER_G)
+        cps = int(min(clusters_per_slab, nc))
+        if cps % SUPER_G:
+            raise ValueError(f"clusters_per_slab must be a multiple of {SUPER_G}")
+        n_slabs = -(-nc // cps)
+        nc = n_slabs * cps
+    else:
+        # tiny scene: exact cluster count — padding clusters would lengthen
+        # every sweep (measured ~6% on the Cornell headline)
+        nc, cps, n_slabs = nc_raw, nc_raw, 1
+    t_pad = nc * block_t
+    if t_pad > t:
+        z = np.zeros((t_pad - t, 3), np.float32)
+        p0, p1, p2 = (np.concatenate([a, z]) for a in (p0, p1, p2))
+        prim = np.concatenate([prim, np.full((t_pad - t,), -1, np.int32)])
+    valid = prim >= 0
+
+    caabb = block_aabbs(p0, p1, p2, valid, block_t)
+    ns = nc // SUPER_G
+
+    if view_origin is not None:
+        vo = np.asarray(view_origin, np.float64)
+        ccent = (caabb[:, 0:3].astype(np.float64) + caabb[:, 3:6]) * 0.5
+        cdist = np.linalg.norm(ccent - vo, axis=-1)
+        cdist = np.where(np.isnan(cdist), np.inf, cdist)  # padding → last
+        if nc % SUPER_G == 0:
+            # order supers front-to-back, then clusters within each super
+            sdist = cdist.reshape(ns, SUPER_G).min(axis=1)
+            sorder = np.argsort(sdist, kind="stable")
+            within = np.argsort(cdist.reshape(ns, SUPER_G), axis=1, kind="stable")
+            cluster_order = (
+                sorder[:, None] * SUPER_G + within[sorder]
+            ).reshape(-1)
+        else:
+            cluster_order = np.argsort(cdist, kind="stable")
+        row_order = (
+            cluster_order[:, None] * block_t + np.arange(block_t)[None, :]
+        ).reshape(-1)
+        p0, p1, p2 = p0[row_order], p1[row_order], p2[row_order]
+        prim, valid = prim[row_order], valid[row_order]
+        caabb = caabb[cluster_order]
+
+    use_supers = use_supers and cps > SUPER_G
+    if use_supers:
+        saabb = union_boxes(caabb.reshape(ns, SUPER_G, 8))
+    else:  # unread by the kernel; keep a valid (1, 8) placeholder
+        saabb = union_boxes(caabb[None, :, :])
+    slab_aabb = union_boxes(caabb.reshape(n_slabs, cps, 8))
+
+    return TriTables(
+        p0=p0, p1=p1, p2=p2, prim=prim, valid=valid,
+        tris16=_pack_tris_np(p0, p1, p2, valid),
+        cluster_aabbs=caabb, super_aabbs=saabb, slab_aabbs=slab_aabb,
+        block_t=block_t, clusters_per_slab=cps, use_supers=use_supers,
+    )
+
+
+def _box_enter(aabb_ref, row, rays_ref, t_best):
+    """Slab test of the ray block vs AABB table row `row` → (1, BLOCK_R)
+    bool. Conservative (1+2γ₃) widening as in bounds.rs:303-323."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
     ix = rays_ref[10:11, :]
     iy = rays_ref[11:12, :]
     iz = rays_ref[12:13, :]
-    bmin_x = aabb_ref[j, 0]
-    bmin_y = aabb_ref[j, 1]
-    bmin_z = aabb_ref[j, 2]
-    bmax_x = aabb_ref[j, 3]
-    bmax_y = aabb_ref[j, 4]
-    bmax_z = aabb_ref[j, 5]
+    bmin_x = aabb_ref[row, 0]
+    bmin_y = aabb_ref[row, 1]
+    bmin_z = aabb_ref[row, 2]
+    bmax_x = aabb_ref[row, 3]
+    bmax_y = aabb_ref[row, 4]
+    bmax_z = aabb_ref[row, 5]
 
     def slab(blo, bhi, o, inv):
         t0 = (blo - o) * inv
@@ -269,144 +416,288 @@ def _tile_test(rays_ref, tris_ref, t_best):
     return jnp.where(ok, t, FLOAT_MAX), ok
 
 
-def _make_closest_kernel(block_t: int):
-    def _closest_kernel(aabb_ref, rays_ref, tris_ref, t_ref, idx_ref):
-        """One ray block vs ALL tri clusters: the Morton-ordered tri table
-        is VMEM-resident and the cluster sweep is an in-kernel fori_loop so
-        a skipped cluster costs one slab test — no grid step, no DMA. (A
-        two-level super-cluster variant was tried and measured net-negative
-        at ≤10k tris; see PERF.md.)"""
-        t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
+def _make_closest_kernel(block_t: int, clusters_per_slab: int,
+                         use_supers: bool, stats: bool, n_slabs: int):
+    """One ray block vs one streamed tri slab per grid step. The best
+    (t, idx) output block persists across the slab sweep (inner grid axis).
+    With stats=True an extra output counts entered clusters per ray block
+    (roofline instrumentation). The slab-level AABB test only exists when
+    there are ≥2 slabs (with one slab it can never skip anything)."""
 
-        def cluster_body(j, _):
+    def kernel(slab_aabb_ref, super_aabb_ref, caabb_ref, rays_ref, tris_ref,
+               t_ref, idx_ref, *maybe_stats):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
+            idx_ref[:] = jnp.full_like(idx_ref, -1)
+            if stats:
+                maybe_stats[0][:] = jnp.zeros_like(maybe_stats[0])
+
+        def cluster_step(c):
             t_best = t_ref[:]
-            enter = _cluster_enter(aabb_ref, j, rays_ref, t_best)
+            enter = _box_enter(caabb_ref, c, rays_ref, t_best)
 
             @pl.when(jnp.any(enter))
             def _():
-                off = pl.multiple_of(j * block_t, block_t)
+                off = pl.multiple_of(c * block_t, block_t)
                 tri_tile = tris_ref[pl.ds(off, block_t), :]
                 t, _ok = _tile_test(rays_ref, tri_tile, t_best)
                 t_min = jnp.min(t, axis=0, keepdims=True)
                 row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
-                tri_idx = j * block_t + row
+                tri_idx = (j * clusters_per_slab + c) * block_t + row
 
                 # strict improvement, EXCEPT the first hit may land exactly
-                # at the incoming t_max (the brute path's watertight in_range
-                # accepts t <= t_max; best-t init = t_max would report it as
-                # a miss — r3 advisor boundary finding). FLOAT_MAX guard
-                # keeps no-hit tiles (t_min == FLOAT_MAX == t_ref when
-                # t_max is unbounded) from writing a phantom index.
+                # at the incoming t_max (the brute path's watertight
+                # in_range accepts t <= t_max; best-t init = t_max would
+                # report it as a miss). FLOAT_MAX guard keeps no-hit tiles
+                # from writing a phantom index.
                 better = (t_min < t_ref[:]) | (
                     (t_min == t_ref[:]) & (idx_ref[:] < 0) & (t_min < FLOAT_MAX)
                 )
                 t_ref[:] = jnp.where(better, t_min, t_ref[:])
                 idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
+                if stats:
+                    maybe_stats[0][:] = maybe_stats[0][:] + 1
 
-            return 0
+        def sweep():
+            if use_supers:
+                def super_body(s, _):
+                    enter_s = _box_enter(super_aabb_ref, s, rays_ref, t_ref[:])
 
-        jax.lax.fori_loop(0, aabb_ref.shape[0], cluster_body, 0)
+                    @pl.when(jnp.any(enter_s))
+                    def _():
+                        for c_off in range(SUPER_G):  # static unroll
+                            cluster_step(s * SUPER_G + c_off)
 
-    return _closest_kernel
+                    return 0
+
+                jax.lax.fori_loop(0, clusters_per_slab // SUPER_G, super_body, 0)
+            else:
+                def cl_body(c, _):
+                    cluster_step(c)
+                    return 0
+
+                jax.lax.fori_loop(0, clusters_per_slab, cl_body, 0)
+
+        if n_slabs > 1:
+            slab_enter = _box_enter(slab_aabb_ref, j, rays_ref, t_ref[:])
+
+            @pl.when(jnp.any(slab_enter))
+            def _():
+                sweep()
+        else:
+            sweep()
+
+    return kernel
 
 
-def _make_any_kernel(block_t: int):
-    def _any_kernel(aabb_ref, rays_ref, tris_ref, hit_ref):
-        hit_ref[:] = jnp.zeros_like(hit_ref)
+def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
+                     n_slabs: int):
+    def kernel(slab_aabb_ref, super_aabb_ref, caabb_ref, rays_ref, tris_ref,
+               hit_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            hit_ref[:] = jnp.zeros_like(hit_ref)
+
         t_max = rays_ref[6:7, :]
 
-        def cluster_body(j, _):
+        def cluster_step(c):
             not_hit = hit_ref[:] == 0
-            enter = _cluster_enter(aabb_ref, j, rays_ref, t_max) & not_hit
+            enter = _box_enter(caabb_ref, c, rays_ref, t_max) & not_hit
 
             @pl.when(jnp.any(enter))
             def _():
-                off = pl.multiple_of(j * block_t, block_t)
+                off = pl.multiple_of(c * block_t, block_t)
                 tri_tile = tris_ref[pl.ds(off, block_t), :]
                 _t, ok = _tile_test(rays_ref, tri_tile, t_max)
                 any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
                 hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
 
-            return 0
+        def sweep():
+            if use_supers:
+                def super_body(s, _):
+                    not_hit = hit_ref[:] == 0
+                    enter_s = _box_enter(super_aabb_ref, s, rays_ref, t_max) & not_hit
 
-        jax.lax.fori_loop(0, aabb_ref.shape[0], cluster_body, 0)
+                    @pl.when(jnp.any(enter_s))
+                    def _():
+                        for c_off in range(SUPER_G):
+                            cluster_step(s * SUPER_G + c_off)
 
-    return _any_kernel
+                    return 0
+
+                jax.lax.fori_loop(0, clusters_per_slab // SUPER_G, super_body, 0)
+            else:
+                def cl_body(c, _):
+                    cluster_step(c)
+                    return 0
+
+                jax.lax.fori_loop(0, clusters_per_slab, cl_body, 0)
+
+        if n_slabs > 1:
+            not_hit = hit_ref[:] == 0
+            slab_enter = _box_enter(slab_aabb_ref, j, rays_ref, t_max) & not_hit
+
+            @pl.when(jnp.any(slab_enter))
+            def _():
+                sweep()
+        else:
+            sweep()
+
+    return kernel
 
 
-def _grid_call(kernel, rays, tris, aabbs, out_shapes, out_specs, interpret,
-               block_r=BLOCK_R):
-    n_pad, t_pad = rays.shape[1], tris.shape[0]
-    if t_pad > MAX_VMEM_TRIS:
-        raise ValueError(
-            f"triangle table ({t_pad}) exceeds the VMEM-resident kernel limit"
-            f" ({MAX_VMEM_TRIS}); chunk the scene or extend the kernel with a"
-            " tri-table grid dimension"
-        )
-    grid = (n_pad // block_r,)
+def _slab_grid_call(kernel, rays, tris16, caabb, saabb, slab_aabb,
+                    out_shapes, out_specs, interpret, block_r, cps,
+                    use_supers):
+    n_pad = rays.shape[1]
+    n_slabs = slab_aabb.shape[0]
+    grid = (n_pad // block_r, n_slabs)
+    if use_supers:
+        super_spec = pl.BlockSpec((cps // SUPER_G, 8), lambda i, j: (j, 0),
+                                  memory_space=pltpu.SMEM)
+    else:  # placeholder table the kernel never reads
+        super_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster AABBs
-            pl.BlockSpec((RAY_ROWS, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole tri table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slab AABBs (full)
+            super_spec,
+            pl.BlockSpec((cps, 8), lambda i, j: (j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((RAY_ROWS, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps * _block_t_of(tris16, caabb), TRI_COLS),
+                         lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # tri table + per-block buffers (cap, not allocation)
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(aabbs, rays, tris)
+    )(slab_aabb, saabb, caabb, rays, tris16)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "block_r"))
-def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
-                           interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
-    """Closest-hit over a Morton-ordered triangle soup. o/d: (N,3),
-    t_max: (N,); p0/p1/p2: (T,3) in BLOCK order, valid: (T,) bool;
-    aabbs from block_aabbs. Returns (t: (N,), tri: (N,) i32 block-order
-    index, -1 on miss)."""
+def _block_t_of(tris16, caabb) -> int:
+    return tris16.shape[0] // caabb.shape[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_t", "block_r", "clusters_per_slab",
+                     "use_supers", "stats"),
+)
+def tri_closest_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
+                           block_t: int, clusters_per_slab: int,
+                           use_supers: bool, interpret=False,
+                           block_r: int = BLOCK_R, stats: bool = False):
+    """Closest-hit over prebuilt TriTables arrays. o/d: (N,3), t_max: (N,).
+    Returns (t: (N,), tri: (N,) i32 table-row index, -1 on miss); with
+    stats=True also (n_ray_blocks,) entered-cluster counts."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max, block_r)
-    tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
-    t_out, idx_out = _grid_call(
-        _make_closest_kernel(block_t), rays, tris, aabbs,
-        out_shapes=[
-            jax.ShapeDtypeStruct((1, n_pad), Float),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        interpret=interpret,
-        block_r=block_r,
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, n_pad), Float),
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+    ]
+    if stats:
+        out_shapes.append(jax.ShapeDtypeStruct((1, n_pad), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        )
+    outs = _slab_grid_call(
+        _make_closest_kernel(block_t, clusters_per_slab, use_supers, stats,
+                             slab_aabb.shape[0]),
+        rays, tris16, caabb, saabb, slab_aabb,
+        out_shapes=out_shapes, out_specs=out_specs,
+        interpret=interpret, block_r=block_r, cps=clusters_per_slab,
+        use_supers=use_supers,
     )
+    t_out, idx_out = outs[0], outs[1]
     t = t_out[0, :n]
     idx = idx_out[0, :n]
-    # lanes that never beat t_max keep idx -1; t reported as FLOAT_MAX
-    return jnp.where(idx >= 0, t, FLOAT_MAX), idx
+    result = (jnp.where(idx >= 0, t, FLOAT_MAX), idx)
+    if stats:
+        return result + (outs[2][0, ::block_r],)
+    return result
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "block_r"))
-def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
-                       interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
-    """Any-hit (shadow) test. Returns (N,) bool."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_t", "block_r", "clusters_per_slab",
+                     "use_supers"),
+)
+def tri_any_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
+                       block_t: int, clusters_per_slab: int,
+                       use_supers: bool, interpret=False,
+                       block_r: int = BLOCK_R):
+    """Any-hit (shadow) test over prebuilt TriTables arrays → (N,) bool."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max, block_r)
-    tris = pack_tris(p0, p1, p2, valid, block_t)
     n_pad = rays.shape[1]
-    hit = _grid_call(
-        _make_any_kernel(block_t), rays, tris, aabbs,
+    hit = _slab_grid_call(
+        _make_any_kernel(block_t, clusters_per_slab, use_supers,
+                         slab_aabb.shape[0]),
+        rays, tris16, caabb, saabb, slab_aabb,
         out_shapes=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        out_specs=pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-        block_r=block_r,
+        out_specs=pl.BlockSpec((1, block_r), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret, block_r=block_r, cps=clusters_per_slab,
+        use_supers=use_supers,
     )
     return hit[0, :n] > 0
+
+
+def _tables_from_aabbs(p0, p1, p2, valid, aabbs, block_t):
+    """Compat shim for the (p0, p1, p2, valid, aabbs) API: wrap caller-built
+    cluster AABBs (no reordering) into single-slab table arrays. Host-side
+    only — call with concrete arrays."""
+    aabbs = np.asarray(aabbs, np.float32)
+    nc = aabbs.shape[0]
+    tris16 = pack_tris(p0, p1, p2, valid, block_t)
+    t_need = nc * block_t
+    if tris16.shape[0] < t_need:
+        extra = np.zeros((t_need - tris16.shape[0], TRI_COLS), np.float32)
+        extra[:, 9] = -1.0
+        tris16 = jnp.concatenate([tris16, jnp.asarray(extra)], axis=0)
+    slab_aabb = union_boxes(aabbs[None, :, :])
+    return tris16, jnp.asarray(aabbs), jnp.asarray(slab_aabb), jnp.asarray(slab_aabb), nc
+
+
+def tri_closest_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
+                           interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
+    """Closest-hit over a triangle soup with caller-built cluster AABBs
+    (single-slab compat API; see tri_closest_hit_tables). Returns
+    (t: (N,), tri: (N,) i32 row index, -1 on miss)."""
+    tris16, caabb, saabb, slab_aabb, cps = _tables_from_aabbs(
+        p0, p1, p2, valid, aabbs, block_t
+    )
+    return tri_closest_hit_tables(
+        o, d, t_max, tris16, caabb, saabb, slab_aabb,
+        block_t=block_t, clusters_per_slab=cps, use_supers=False,
+        interpret=interpret, block_r=block_r,
+    )
+
+
+def tri_any_hit_pallas(o, d, t_max, p0, p1, p2, valid, aabbs, *,
+                       interpret=False, block_t=BLOCK_T, block_r=BLOCK_R):
+    """Any-hit (shadow) test (single-slab compat API). Returns (N,) bool."""
+    tris16, caabb, saabb, slab_aabb, cps = _tables_from_aabbs(
+        p0, p1, p2, valid, aabbs, block_t
+    )
+    return tri_any_hit_tables(
+        o, d, t_max, tris16, caabb, saabb, slab_aabb,
+        block_t=block_t, clusters_per_slab=cps, use_supers=False,
+        interpret=interpret, block_r=block_r,
+    )

@@ -128,3 +128,161 @@ def test_aggregate_matches_brute_on_mesh():
     np.testing.assert_allclose(
         np.asarray(t2)[hit], np.asarray(ref.t)[hit], rtol=1e-6
     )
+
+
+def _tables_closest(o, d, t_max, tables, block_r=1024):
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import tri_closest_hit_tables
+
+    return tri_closest_hit_tables(
+        o, d, t_max,
+        jnp.asarray(tables.tris16), jnp.asarray(tables.cluster_aabbs),
+        jnp.asarray(tables.super_aabbs), jnp.asarray(tables.slab_aabbs),
+        block_t=tables.block_t, clusters_per_slab=tables.clusters_per_slab,
+        use_supers=tables.use_supers, interpret=True, block_r=block_r,
+    )
+
+
+@pytest.mark.parametrize("cps,use_supers", [(16, True), (16, False), (8, False)])
+def test_multislab_streaming_matches_brute(cps, use_supers):
+    """Streamed multi-slab grid + super-cluster level vs brute: 1.9k tris →
+    30 clusters → 2-4 slabs at clusters_per_slab=8/16; exercises the j==0
+    output init, cross-slab t tightening, and the slab/super AABB skips."""
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import build_tri_tables
+
+    o, d, t_max, p0, p1, p2 = _random_scene(21, n_rays=256, n_tris=1900, spread=6.0)
+    tris = isect.TriangleArrays(p0, p1, p2, jnp.arange(1900, dtype=jnp.int32))
+    tables = build_tri_tables(
+        p0, p1, p2, tris.prim, block_t=64,
+        view_origin=np.array([0.0, 0.0, -10.0]),
+        clusters_per_slab=cps, use_supers=use_supers,
+    )
+    assert tables.n_slabs >= 2
+
+    t, idx = _tables_closest(o, d, t_max, tables)
+    t, idx = np.asarray(t), np.asarray(idx)
+
+    # brute reference in chunks (dense (N,T) is fine at this size)
+    tt, _b, ok = isect.triangle_intersect_t(o, d, t_max, tris)
+    ref_t = np.asarray(jnp.min(tt, axis=-1))
+    ref_any = np.asarray(jnp.any(ok, axis=-1))
+
+    assert np.array_equal(idx >= 0, ref_any)
+    # same math, but XLA fuses FMAs differently between the two lowerings
+    # and the compounding through the edge functions reaches ~10 ulps on
+    # small t values (observed 1.1e-6 relative at t=0.028)
+    np.testing.assert_allclose(t[ref_any], ref_t[ref_any], rtol=5e-6, atol=0)
+    # winner rows map to real prims and reproduce the winning t
+    prim_of = np.asarray(tables.prim)
+    assert (prim_of[idx[ref_any]] >= 0).all()
+    tt = np.asarray(tt)
+    for i in np.nonzero(ref_any)[0]:
+        np.testing.assert_allclose(
+            tt[i, prim_of[idx[i]]], ref_t[i], rtol=5e-6, atol=0
+        )
+
+
+def test_multislab_any_hit_matches_brute():
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
+        build_tri_tables,
+        tri_any_hit_tables,
+    )
+
+    o, d, t_max, p0, p1, p2 = _random_scene(22, n_rays=256, n_tris=1100, spread=6.0)
+    tris = isect.TriangleArrays(p0, p1, p2, jnp.arange(1100, dtype=jnp.int32))
+    _tt, _b, ok = isect.triangle_intersect_t(o, d, t_max, tris, with_bary=False)
+    ref = np.asarray(jnp.any(ok, axis=-1))
+    tables = build_tri_tables(
+        p0, p1, p2, tris.prim, block_t=64, clusters_per_slab=8, use_supers=False
+    )
+    assert tables.n_slabs >= 2
+    got = np.asarray(
+        tri_any_hit_tables(
+            o, d, t_max,
+            jnp.asarray(tables.tris16), jnp.asarray(tables.cluster_aabbs),
+            jnp.asarray(tables.super_aabbs), jnp.asarray(tables.slab_aabbs),
+            block_t=tables.block_t, clusters_per_slab=tables.clusters_per_slab,
+            use_supers=tables.use_supers, interpret=True, block_r=1024,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_build_tri_tables_is_permutation_with_padding():
+    _o, _d, _t, p0, p1, p2 = _random_scene(23, n_tris=777, spread=3.0)
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import build_tri_tables
+
+    tables = build_tri_tables(
+        p0, p1, p2, np.arange(777, dtype=np.int32), block_t=64,
+        view_origin=np.array([1.0, 2.0, 3.0]), use_supers=True,
+    )
+    real = tables.prim[tables.prim >= 0]
+    assert sorted(real.tolist()) == list(range(777))
+    # vertex rows follow their prim ids through the permutation
+    src = np.asarray(p0)
+    np.testing.assert_array_equal(tables.p0[tables.valid], src[real])
+    # AABB levels contain their children
+    ca = tables.cluster_aabbs
+    assert tables.use_supers
+    sa = tables.super_aabbs
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import SUPER_G
+
+    grouped = ca.reshape(sa.shape[0], SUPER_G, 8)
+    ok_rows = ~np.isnan(grouped[..., 0])
+    for s in range(sa.shape[0]):
+        for c in range(SUPER_G):
+            if ok_rows[s, c]:
+                assert (grouped[s, c, 0:3] >= sa[s, 0:3] - 1e-6).all()
+                assert (grouped[s, c, 3:6] <= sa[s, 3:6] + 1e-6).all()
+
+
+def test_600k_tri_scene_matches_brute_subsample():
+    """Scene-size ceiling: the r3 kernel raised ValueError beyond 500k
+    VMEM-resident tris; the streamed-slab grid must handle 620k
+    (scenes/torus600k.ply scale — reference renders any PLY that fits RAM,
+    plymesh.rs:49-131). Synthetic torus, 64 probe rays, brute reference
+    computed in ray chunks to bound memory."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from make_mesh_scene import bumpy_torus
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import build_tri_tables
+
+    idx, verts = bumpy_torus(nu=775, nv=400)
+    tri = verts[idx.reshape(-1, 3)]
+    p0, p1, p2 = (jnp.asarray(tri[:, k]) for k in range(3))
+    n_tris = tri.shape[0]
+    assert n_tris >= 600_000
+
+    rng = np.random.default_rng(31)
+    # probe rays from a viewpoint ring, aimed at torus points (mixed
+    # coherence: some culling, some deep sweeps)
+    theta = rng.uniform(0, 2 * np.pi, 64)
+    o = np.stack([3.0 * np.cos(theta), rng.uniform(-1, 2, 64), 3.0 * np.sin(theta)],
+                 -1).astype(np.float32)
+    aim = tri[rng.integers(0, n_tris, 64), 0]
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    t_max = jnp.full((64,), 100.0, jnp.float32)
+
+    tables = build_tri_tables(p0, p1, p2, np.arange(n_tris, dtype=np.int32),
+                              block_t=64, view_origin=np.array([0.0, 0.0, -4.0]))
+    assert tables.n_slabs > 2  # actually exercises streaming
+    t, widx = map(np.asarray, _tables_closest(o_j, d_j, t_max, tables, block_r=128))
+
+    # chunked brute reference (dense (64, T) would be ~160 MB per temp)
+    ref_t = np.full((64,), np.inf, np.float32)
+    ref_any = np.zeros((64,), bool)
+    step = 65536
+    for lo in range(0, n_tris, step):
+        sub = isect.TriangleArrays(
+            p0[lo:lo + step], p1[lo:lo + step], p2[lo:lo + step],
+            jnp.arange(min(step, n_tris - lo), dtype=jnp.int32),
+        )
+        tt, _b, ok = isect.triangle_intersect_t(o_j, d_j, t_max, sub)
+        ref_t = np.minimum(ref_t, np.asarray(jnp.min(tt, axis=-1)))
+        ref_any |= np.asarray(jnp.any(ok, axis=-1))
+
+    assert np.array_equal(widx >= 0, ref_any)
+    np.testing.assert_allclose(t[ref_any], ref_t[ref_any], rtol=5e-6, atol=0)

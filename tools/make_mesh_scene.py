@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Generate the config-5 large-mesh benchmark scene (BASELINE.md: 10k-tri
-mesh, flat BVH): a bumpy torus (exactly 2·nu·nv triangles) as binary PLY +
-a pbrt scene with a ground plane and a quad area light.
+"""Generate the large-mesh benchmark scenes: a bumpy torus (exactly
+2·nu·nv triangles) as binary PLY + a pbrt scene with a ground plane and a
+quad area light.
 
-Deterministic — safe to regenerate; scenes/mesh10k.pbrt + scenes/torus10k.ply.
+  (no arg)  scenes/mesh10k.pbrt  + torus10k.ply  (BASELINE config 5)
+  100k      scenes/mesh100k.pbrt + torus100k.ply (hierarchy benchmark)
+  600k      scenes/mesh600k.pbrt + torus600k.ply (streamed-slab benchmark —
+            the r3 kernel errored beyond 500k VMEM-resident tris)
+
+Deterministic — safe to regenerate.
 """
 
 import sys
@@ -42,12 +47,12 @@ def bumpy_torus(nu=100, nv=50, R=1.0, r=0.42, bump=0.08):
 
 
 SCENE = """\
-# config-5 benchmark scene: 10k-triangle mesh over a ground plane
+# {label} benchmark scene: {ntris}-triangle mesh over a ground plane
 LookAt 0 1.6 -3.4   0 0.1 0   0 1 0
 Camera "perspective" "float fov" [42]
 Sampler "halton" "integer pixelsamples" [16]
 Film "image" "integer xresolution" [512] "integer yresolution" [512]
-    "string filename" ["mesh10k.png"]
+    "string filename" ["{name}.png"]
 Integrator "path" "integer maxdepth" [8]
 
 WorldBegin
@@ -66,19 +71,32 @@ Material "plastic" "rgb Kd" [0.30 0.42 0.62] "rgb Ks" [0.35 0.35 0.35]
     "float roughness" [0.08]
 AttributeBegin
   Rotate 28 0 1 0
-  Shape "plymesh" "string filename" ["torus10k.ply"]
+  Shape "plymesh" "string filename" ["torus{size}.ply"]
 AttributeEnd
 
 WorldEnd
 """
 
+SIZES = {
+    # size tag → (nu, nv); tris = 2*nu*nv
+    "10k": (100, 50, "config-5"),
+    "100k": (320, 160, "hierarchy"),
+    "600k": (775, 400, "streamed-slab"),
+}
+
 
 def main():
-    idx, verts = bumpy_torus()
-    out = REPO / "scenes" / "torus10k.ply"
-    write_ply(out, idx, verts)
-    (REPO / "scenes" / "mesh10k.pbrt").write_text(SCENE)
-    print(f"wrote {out} ({len(idx)//3} tris, {len(verts)} verts) + mesh10k.pbrt")
+    tags = sys.argv[1:] or ["10k"]
+    for tag in tags:
+        nu, nv, label = SIZES[tag]
+        idx, verts = bumpy_torus(nu=nu, nv=nv)
+        name = f"mesh{tag}"
+        out = REPO / "scenes" / f"torus{tag}.ply"
+        write_ply(out, idx, verts)
+        (REPO / "scenes" / f"{name}.pbrt").write_text(
+            SCENE.format(label=label, ntris=len(idx) // 3, name=name, size=tag)
+        )
+        print(f"wrote {out} ({len(idx)//3} tris, {len(verts)} verts) + {name}.pbrt")
 
 
 if __name__ == "__main__":
