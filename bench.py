@@ -2,26 +2,40 @@
 """Benchmark suite. Prints ONE JSON line; headline fields first:
 
   {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
-   "vs_baseline": R, "timing": {...}, "configs": {...}}
+   "vs_baseline": R, "timing": {...}, "sol": {...}, "configs": {...}}
 
 Headline (BASELINE config 3): textured Cornell 512², 64 spp, depth-5 path
 trace. rays/sec/chip = total traced path segments (camera + bounce
 closest-hits + NEE shadow + NEE MIS rays over active lanes) ÷ wall time ÷
-chips, fixed seeds.
+chips, fixed seeds. Every config reports the same segments-based unit
+(directlighting included — its NEE shadow + MIS rays count too).
 
 Timing methodology (recorded in the JSON): one warm-up pass (compile
-excluded), then PASSES timed passes, MEDIAN reported — the reference for
-vs_baseline (baseline_cpu.json) is captured with the *same* protocol via
-`python bench.py --capture-cpu-baseline` (spawns a CPU-backend subprocess;
-cached with provenance). The reference renderer is CPU-only with no
-published numbers (/root/reference/readme.md), so the CPU timing of this
-same renderer stands in for it.
+excluded), then PASSES timed passes, MEDIAN reported. vs_baseline ratios
+compare against this same renderer on this host's CPU, captured with the
+*same* per-config protocol via `python bench.py --capture-cpu-baseline`
+(cached in baseline_cpu.json with provenance). The reference renderer is
+CPU-only with no published numbers (/root/reference/readme.md), so the CPU
+timing of this same renderer stands in for it.
 
-Secondary configs (recorded alongside, not the headline metric):
-  config 2  spheres.pbrt 256², 16 spp, directlighting (camera-rays/s)
-  config 5  mesh10k.pbrt 512², 16 spp, depth 8, cluster-culled Pallas
-            (camera-rays/s; full config-5 resolution is sized down so a
-            bench pass stays O(10 s) — rays/s is what's being measured)
+Configs:
+  cornell_tex_512_headline  BASELINE config 3 (the headline metric)
+  spheres_direct_256        config 2: spheres.pbrt 256², 16 spp, directlighting
+  mesh10k_512               config-5 workload at r3's bench size (512², 16
+                            spp, depth 8) — kept for round-over-round
+                            comparability
+  mesh10k_1024_full         config 5 AS SPECIFIED: 1024², 256 spp, depth 8
+                            (1 timed pass — a pass is minutes; VERDICT r3
+                            item 3). vs_baseline uses the mesh10k_512 CPU
+                            rate (same scene/unit; a full-size CPU pass
+                            would take hours).
+  mesh100k_512              hierarchy benchmark (1.6k clusters, 7 slabs)
+  mesh600k_256              streamed-slab benchmark (620k tris — beyond the
+                            r3 kernel's 500k VMEM error)
+
+The "sol" section merges roofline.json (tools/roofline.py --write): the
+traversal kernel's achieved f32 throughput as a % of the assumed v5e VPU
+peak, per scene (VERDICT r3 item 5).
 """
 
 import argparse
@@ -38,9 +52,46 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / "baseline_cpu.json"
+ROOFLINE_CACHE = REPO / "roofline.json"
 
 HEADLINE = dict(scene="cornell_tex.pbrt", res=512, spp=64, depth=5)
 PASSES = 5
+
+# secondary configs: name -> (run_config kwargs, timed passes, baseline key)
+SECONDARY = {
+    "spheres_direct_256": (
+        dict(scene="spheres.pbrt", res=256, spp=16, depth=0,
+             integrator="directlighting"),
+        PASSES, "spheres_direct_256",
+    ),
+    "mesh10k_512": (
+        dict(scene="mesh10k.pbrt", res=512, spp=16, depth=8,
+             intersector="pallas"),
+        PASSES, "mesh10k_512",
+    ),
+    "mesh10k_1024_full": (
+        dict(scene="mesh10k.pbrt", res=1024, spp=256, depth=8,
+             intersector="pallas"),
+        1, "mesh10k_512",  # full-size CPU pass would take hours; same unit
+    ),
+    "mesh100k_512": (
+        dict(scene="mesh100k.pbrt", res=512, spp=16, depth=8,
+             intersector="pallas"),
+        2, None,
+    ),
+    "mesh600k_256": (
+        dict(scene="mesh600k.pbrt", res=256, spp=4, depth=5,
+             intersector="pallas"),
+        2, None,
+    ),
+}
+
+# configs captured on the CPU backend for vs_baseline ratios
+CPU_BASELINE_CONFIGS = {
+    "headline": (HEADLINE, PASSES),
+    "spheres_direct_256": (SECONDARY["spheres_direct_256"][0], PASSES),
+    "mesh10k_512": (SECONDARY["mesh10k_512"][0], 1),  # ~2 min/pass on CPU
+}
 
 
 def _build(scene, res, spp, depth, integrator=None, intersector=None):
@@ -73,15 +124,17 @@ def _build(scene, res, spp, depth, integrator=None, intersector=None):
     return fn, params, po, px, sc
 
 
-def run_config(scene, res, spp, depth, integrator=None, intersector=None):
+def run_config(scene, res, spp, depth, integrator=None, intersector=None,
+               passes=None):
     """→ dict with wall (median), segments, rays/s."""
+    passes = PASSES if passes is None else passes
     fn, params, po, px, sc = _build(scene, res, spp, depth, integrator, intersector)
     # warm-up: compile + one full pass (block via scalar fetch — the axon
     # backend's block_until_ready doesn't reliably block)
     s, seg = fn(params, po, px)
     float(s)
     walls = []
-    for _ in range(PASSES):
+    for _ in range(passes):
         t0 = time.time()
         s, seg = fn(params, po, px)
         checksum, segments = float(s), float(seg)
@@ -102,11 +155,9 @@ def run_config(scene, res, spp, depth, integrator=None, intersector=None):
     return out
 
 
-def _run_config_isolated(scene, res, spp, depth, integrator=None,
-                         intersector=None, retries=1):
+def _run_config_isolated(kwargs, passes, retries=1):
     """run_config in a subprocess (worker-crash isolation), with retry."""
-    kw = dict(scene=scene, res=res, spp=spp, depth=depth,
-              integrator=integrator, intersector=intersector)
+    kw = dict(kwargs, passes=passes)
     code = (
         "import json, sys;"
         f"sys.path.insert(0, {str(REPO)!r});"
@@ -117,7 +168,7 @@ def _run_config_isolated(scene, res, spp, depth, integrator=None,
     for _ in range(retries + 1):
         res_p = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            cwd=REPO, timeout=1800,
+            cwd=REPO, timeout=3600,
         )
         lines = [l for l in res_p.stdout.splitlines() if l.startswith("RESULT ")]
         if lines:
@@ -127,47 +178,54 @@ def _run_config_isolated(scene, res, spp, depth, integrator=None,
 
 
 def capture_cpu_baseline():
-    """Run the headline config on the CPU backend in a subprocess and cache
-    the result with provenance (same renderer, same protocol)."""
-    code = (
-        "import os, json, sys;"
-        f"sys.path.insert(0, {str(REPO)!r});"
-        # the axon plugin ignores JAX_PLATFORMS; config update before backend
-        # init is what forces CPU (see tests/conftest.py)
-        "import jax; jax.config.update('jax_platforms', 'cpu');"
-        "from bench import run_config, HEADLINE;"
-        "print('CPU_RESULT ' + json.dumps(run_config(**HEADLINE)))"
-    )
-    res = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
-    )
-    line = [l for l in res.stdout.splitlines() if l.startswith("CPU_RESULT ")]
-    if not line:
-        sys.stderr.write(res.stdout + res.stderr)
-        raise SystemExit("CPU baseline run failed")
-    data = json.loads(line[0][len("CPU_RESULT "):])
+    """Run the baseline configs on the CPU backend in subprocesses and cache
+    rates with provenance (same renderer, same per-config protocol)."""
     import platform
 
+    entries = {}
+    for name, (kw, passes) in CPU_BASELINE_CONFIGS.items():
+        code = (
+            "import os, json, sys;"
+            f"sys.path.insert(0, {str(REPO)!r});"
+            # the axon plugin ignores JAX_PLATFORMS; config update before
+            # backend init is what forces CPU (see tests/conftest.py)
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from bench import run_config;"
+            f"print('CPU_RESULT ' + json.dumps(run_config(passes={passes}, **{kw!r})))"
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+        )
+        line = [l for l in res.stdout.splitlines() if l.startswith("CPU_RESULT ")]
+        if not line:
+            sys.stderr.write(res.stdout + res.stderr)
+            raise SystemExit(f"CPU baseline run failed for {name}")
+        data = json.loads(line[0][len("CPU_RESULT "):])
+        entries[name] = {"rays_per_sec": data.get("rays_per_sec"), "detail": data}
+        print(f"{name}: {data.get('rays_per_sec', 0):.0f} rays/s (CPU)",
+              file=sys.stderr)
+
     payload = {
-        "rays_per_sec": data["rays_per_sec"],
-        "detail": data,
+        # legacy top-level field = headline rate (r3 compatibility)
+        "rays_per_sec": entries["headline"]["rays_per_sec"],
+        "configs": entries,
         "provenance": {
             "backend": "cpu (XLA, all host cores)",
             "host": platform.node(),
             "cpu_count": os.cpu_count(),
             "config": HEADLINE,
-            "protocol": f"1 warm-up + {PASSES} passes, median",
+            "protocol": f"1 warm-up + per-config passes, median",
             "captured_unix": int(time.time()),
         },
     }
     BASELINE_CACHE.write_text(json.dumps(payload, indent=1))
-    print(f"wrote {BASELINE_CACHE}: {data['rays_per_sec']:.0f} rays/s", file=sys.stderr)
+    print(f"wrote {BASELINE_CACHE}", file=sys.stderr)
     return payload
 
 
 def cpu_baseline():
     if BASELINE_CACHE.exists():
-        return json.loads(BASELINE_CACHE.read_text())["rays_per_sec"]
+        return json.loads(BASELINE_CACHE.read_text())
     return None
 
 
@@ -176,6 +234,8 @@ def main():
     ap.add_argument("--capture-cpu-baseline", action="store_true")
     ap.add_argument("--skip-secondary", action="store_true",
                     help="headline config only")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the minutes-long mesh10k_1024_full config")
     args = ap.parse_args()
 
     if args.capture_cpu_baseline:
@@ -184,34 +244,61 @@ def main():
 
     head = run_config(**HEADLINE)
     base = cpu_baseline()
-    rps = head["rays_per_sec"]
+    base_cfgs = (base or {}).get("configs", {})
 
+    def base_rate(key):
+        if key is None:
+            return None
+        if key == "headline" or key in base_cfgs:
+            e = base_cfgs.get(key)
+            return e["rays_per_sec"] if e else (base or {}).get("rays_per_sec")
+        return None
+
+    rps = head["rays_per_sec"]
+    head_base = base_rate("headline") or (base or {}).get("rays_per_sec")
     configs = {"cornell_tex_512_headline": head}
+    if head_base:
+        head["vs_baseline"] = round(rps / head_base, 2)
+
     if not args.skip_secondary:
         # each secondary config runs in its OWN subprocess: the shared TPU
         # worker behind the axon tunnel occasionally crashes mid-run, which
         # would otherwise poison every subsequent config in this process;
         # one retry absorbs a flaky crash
-        configs["spheres_direct_256"] = _run_config_isolated(
-            "spheres.pbrt", 256, 16, 0, integrator="directlighting"
-        )
-        configs["mesh10k_512"] = _run_config_isolated(
-            "mesh10k.pbrt", 512, 16, 8, intersector="pallas"
-        )
+        for name, (kw, passes, bkey) in SECONDARY.items():
+            if args.skip_full and name == "mesh10k_1024_full":
+                continue
+            r = _run_config_isolated(kw, passes)
+            br = base_rate(bkey)
+            if br and "rays_per_sec" in r:
+                r["vs_baseline"] = round(r["rays_per_sec"] / br, 2)
+                if bkey != name:
+                    r["vs_baseline_note"] = f"vs CPU {bkey} rate (same scene/unit)"
+            configs[name] = r
 
     result = {
         "metric": "rays_per_sec_per_chip",
         "value": rps,
         "unit": "rays/s",
-        "vs_baseline": round(rps / base, 3) if base else None,
+        "vs_baseline": round(rps / head_base, 3) if head_base else None,
         "timing": {
             "warmup_passes": 1,
             "timed_passes": PASSES,
             "aggregation": "median",
-            "baseline_protocol": "identical (see baseline_cpu.json provenance)",
+            "baseline_protocol": "identical per config (see baseline_cpu.json)",
         },
         "configs": configs,
     }
+    if ROOFLINE_CACHE.exists():
+        roof = json.loads(ROOFLINE_CACHE.read_text())
+        result["sol"] = {
+            "vpu_peak_derivation": roof.get("vpu_peak_derivation"),
+            "scenes": {
+                k: {"sol_pct": v["sol_pct"],
+                    "traversal_achieved_tflops": v["traversal_achieved_tflops"]}
+                for k, v in roof.get("scenes", {}).items()
+            },
+        }
     print(json.dumps(result))
 
 

@@ -1,12 +1,15 @@
-"""Pallas-backed aggregate: cluster-culled closest/any-hit.
+"""Pallas-backed aggregate: hierarchical cluster-culled closest/any-hit.
 
 Drop-in replacement for the jnp brute intersector (ops/intersect.py) that
-scales to 10k+ triangle scenes: triangles are Morton-sorted host-side so
-contiguous kernel blocks are spatially tight, each block carries an AABB,
-and the kernel skips whole (ray-block × tri-block) tiles whose cluster AABB
-no ray can enter at its current best t (see ops/pallas/intersect_kernel.py).
-HBM traffic is O(N + T) (the jnp dense path's O(N·T) intermediates get
-padded minor-dim 3 → 128 lanes by XLA — a 42× memory blowup).
+scales from a Cornell box to 600k+ triangle scenes: triangles are
+Morton-sorted host-side into AABB-carrying clusters, clusters into
+super-clusters, super-clusters into VMEM-streamed slabs (see
+ops/pallas/intersect_kernel.py for the kernel-side three-level cull), with
+scene-adaptive block sizes, optional per-traversal ray reordering, and
+128-lane sub-group predication — every choice measured and documented in
+PERF.md. HBM traffic is O(N + T·n_ray_blocks) (the jnp dense path's O(N·T)
+intermediates get padded minor-dim 3 → 128 lanes by XLA — a 42× memory
+blowup).
 
 Spheres run through the jnp dense test (sphere counts are tiny in every
 reference scene), and hit attributes are reconstructed only for each ray's
@@ -26,6 +29,35 @@ from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
     tri_any_hit_tables,
     tri_closest_hit_tables,
 )
+
+
+def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
+    """Scene-adaptive kernel parameters + host tables — the single source
+    of truth shared by the aggregate and the roofline/profiling tools.
+    Returns (tables, block_t, block_r, small)."""
+    import os
+
+    # small scenes get 8-tri clusters so their handful of surfaces cull
+    # each other (a Cornell box inside one 64-tri cluster = zero culling)
+    # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
+    # fewer per-block overheads win); big scenes keep 64-tri clusters
+    # and 1024-ray blocks (tighter blocks -> higher cluster-skip rates —
+    # 2048 measured ~2x slower on the 10k mesh)
+    small = tris.count <= 512
+    block_t = 8 if small else 64
+    block_r = 2048 if small else 1024
+    if os.environ.get("CURRY_BLOCK_R"):  # sweep knob (PERF.md)
+        block_r = int(os.environ["CURRY_BLOCK_R"])
+
+    # Morton sort + super-cluster grouping + front-to-back ordering +
+    # slab padding, all host-side (see build_tri_tables). Kernel-side
+    # indices are table-row order; the permuted TriangleArrays carries
+    # prim ids so Hit.prim needs no inverse mapping.
+    tables = build_tri_tables(
+        tris.p0, tris.p1, tris.p2, tris.prim,
+        block_t=block_t, view_origin=view_origin,
+    )
+    return tables, block_t, block_r, small
 
 
 def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays,
@@ -49,28 +81,9 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     interp = jax.default_backend() != "tpu"
 
     if have_tris:
-        # small scenes get 8-tri clusters so their handful of surfaces cull
-        # each other (a Cornell box inside one 64-tri cluster = zero culling)
-        # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
-        # fewer per-block overheads win); big scenes keep 64-tri clusters
-        # and 1024-ray blocks (tighter blocks -> higher cluster-skip rates —
-        # 2048 measured ~2x slower on the 10k mesh)
         import os
 
-        small = tris.count <= 512
-        block_t = 8 if small else 64
-        block_r = 2048 if small else 1024
-        if os.environ.get("CURRY_BLOCK_R"):  # sweep knob (PERF.md)
-            block_r = int(os.environ["CURRY_BLOCK_R"])
-
-        # Morton sort + super-cluster grouping + front-to-back ordering +
-        # slab padding, all host-side (see build_tri_tables). Kernel-side
-        # indices are table-row order; the permuted TriangleArrays carries
-        # prim ids so Hit.prim needs no inverse mapping.
-        tables = build_tri_tables(
-            tris.p0, tris.p1, tris.p2, tris.prim,
-            block_t=block_t, view_origin=view_origin,
-        )
+        tables, block_t, block_r, small = plan_tri_kernel(tris, view_origin)
         tris = isect.TriangleArrays(
             jnp.asarray(tables.p0), jnp.asarray(tables.p1),
             jnp.asarray(tables.p2), jnp.asarray(tables.prim),
@@ -79,9 +92,16 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         caabb = jnp.asarray(tables.cluster_aabbs)
         saabb = jnp.asarray(tables.super_aabbs)
         slab_aabb = jnp.asarray(tables.slab_aabbs)
+        # 128-lane sub-group predication: incoherent ray blocks enter a
+        # cluster because of a handful of lanes; the other sub-groups skip
+        # the tile math (off for small scenes, where everything enters)
+        subgroups = 1 if small else block_r // 128
+        if os.environ.get("CURRY_SUBGROUPS"):  # sweep knob
+            subgroups = int(os.environ["CURRY_SUBGROUPS"])
         kern_kw = dict(
             block_t=block_t, clusters_per_slab=tables.clusters_per_slab,
             use_supers=tables.use_supers, interpret=interp, block_r=block_r,
+            subgroups=subgroups,
         )
 
         # Per-traversal ray reorder for large scenes: bounced rays are
@@ -93,7 +113,17 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         # (tools/probe_sort_cost.py) — ~0.4 ms/traversal all-in. Dead lanes
         # (t_max 0) sort to the end so whole ray blocks of them skip
         # everything.
-        sort_mode = os.environ.get("CURRY_SORT_MODE", "cell_oct")  # sweep knob
+        # Scale-dependent default (measured, PERF.md r4): at mesh10k scale
+        # (155 clusters) sorting cost ~0.5 ms x 27 traversals/chunk and
+        # bought no extra culling (6.12 s unsorted vs 7.63 s sorted) — with
+        # dead-lane t_max masking in place the sweep is already short. At
+        # mesh100k (1600 clusters) the same sort wins 20% (21.9 s -> 18.3 s,
+        # octant-major best). Threshold 512 splits the two regimes.
+        sort_mode = os.environ.get("CURRY_SORT_MODE", "auto")  # sweep knob
+        if sort_mode == "auto":
+            sort_mode = (
+                "oct_cell" if tables.cluster_aabbs.shape[0] > 512 else "off"
+            )
         use_sort = not small and sort_mode != "off"
         if use_sort:
             sb = tables.slab_aabbs

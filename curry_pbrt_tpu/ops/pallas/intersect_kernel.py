@@ -310,15 +310,17 @@ def build_tri_tables(
     )
 
 
-def _box_enter(aabb_ref, row, rays_ref, t_best):
-    """Slab test of the ray block vs AABB table row `row` → (1, BLOCK_R)
-    bool. Conservative (1+2γ₃) widening as in bounds.rs:303-323."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    ix = rays_ref[10:11, :]
-    iy = rays_ref[11:12, :]
-    iz = rays_ref[12:13, :]
+def _box_enter(aabb_ref, row, rays_ref, t_best, lane_ds=None):
+    """Slab test of the ray block (or a 128-aligned lane sub-group) vs AABB
+    table row `row` → (1, lanes) bool. Conservative (1+2γ₃) widening as in
+    bounds.rs:303-323."""
+    ls = slice(None) if lane_ds is None else lane_ds
+    ox = rays_ref[0:1, ls]
+    oy = rays_ref[1:2, ls]
+    oz = rays_ref[2:3, ls]
+    ix = rays_ref[10:11, ls]
+    iy = rays_ref[11:12, ls]
+    iz = rays_ref[12:13, ls]
     bmin_x = aabb_ref[row, 0]
     bmin_y = aabb_ref[row, 1]
     bmin_z = aabb_ref[row, 2]
@@ -339,18 +341,20 @@ def _box_enter(aabb_ref, row, rays_ref, t_best):
     return (tn <= tf) & (tn < t_best) & (tf > 0.0)
 
 
-def _tile_test(rays_ref, tris_ref, t_best):
-    """Watertight test on one (BLOCK_T, BLOCK_R) tile against per-ray
-    current-best t. Returns (t, ok): t is FLOAT_MAX where no hit."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    sx = rays_ref[3:4, :]
-    sy = rays_ref[4:5, :]
-    sz = rays_ref[5:6, :]
-    kxf = rays_ref[7:8, :]
-    kyf = rays_ref[8:9, :]
-    kzf = rays_ref[9:10, :]
+def _tile_test(rays_ref, tris_ref, t_best, lane_ds=None):
+    """Watertight test on one (BLOCK_T, lanes) tile against per-ray
+    current-best t. lane_ds (a pl.ds) restricts to a 128-aligned lane
+    sub-group. Returns (t, ok): t is FLOAT_MAX where no hit."""
+    ls = slice(None) if lane_ds is None else lane_ds
+    ox = rays_ref[0:1, ls]
+    oy = rays_ref[1:2, ls]
+    oz = rays_ref[2:3, ls]
+    sx = rays_ref[3:4, ls]
+    sy = rays_ref[4:5, ls]
+    sz = rays_ref[5:6, ls]
+    kxf = rays_ref[7:8, ls]
+    kyf = rays_ref[8:9, ls]
+    kzf = rays_ref[9:10, ls]
 
     # one-hot permutation masks, shape (1, BLOCK_R)
     mx0 = (kxf == 0.0).astype(Float); mx1 = (kxf == 1.0).astype(Float); mx2 = (kxf == 2.0).astype(Float)
@@ -417,7 +421,8 @@ def _tile_test(rays_ref, tris_ref, t_best):
 
 
 def _make_closest_kernel(block_t: int, clusters_per_slab: int,
-                         use_supers: bool, stats: bool, n_slabs: int):
+                         use_supers: bool, stats: bool, n_slabs: int,
+                         subgroups: int):
     """One ray block vs one streamed tri slab per grid step. The best
     (t, idx) output block persists across the slab sweep (inner grid axis).
     With stats=True an extra output counts entered clusters per ray block
@@ -433,33 +438,64 @@ def _make_closest_kernel(block_t: int, clusters_per_slab: int,
             t_ref[:] = rays_ref[6:7, :]  # per-ray t_max
             idx_ref[:] = jnp.full_like(idx_ref, -1)
             if stats:
-                maybe_stats[0][:] = jnp.zeros_like(maybe_stats[0])
+                maybe_stats[0][:, :] = jnp.zeros_like(maybe_stats[0])
+
+        def _test_lanes(c, tri_tile, lane_ds):
+            """Tile-test one 128-aligned lane group against cluster c and
+            fold (t, idx) improvements into the output refs."""
+            ls = slice(None) if lane_ds is None else lane_ds
+            t_best = t_ref[0:1, ls]
+            t, _ok = _tile_test(rays_ref, tri_tile, t_best, lane_ds)
+            t_min = jnp.min(t, axis=0, keepdims=True)
+            row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            tri_idx = (j * clusters_per_slab + c) * block_t + row
+
+            # strict improvement, EXCEPT the first hit may land exactly
+            # at the incoming t_max (the brute path's watertight
+            # in_range accepts t <= t_max; best-t init = t_max would
+            # report it as a miss). FLOAT_MAX guard keeps no-hit tiles
+            # from writing a phantom index.
+            better = (t_min < t_best) | (
+                (t_min == t_best) & (idx_ref[0:1, ls] < 0) & (t_min < FLOAT_MAX)
+            )
+            t_ref[0:1, ls] = jnp.where(better, t_min, t_best)
+            idx_ref[0:1, ls] = jnp.where(better, tri_idx, idx_ref[0:1, ls])
+            if stats:
+                # row 0: lane-group tile tests; row 1: tests that improved
+                # some ray's best t (the "useful" subset)
+                st = maybe_stats[0]
+                st[0:1, ls] = st[0:1, ls] + 1
+                st[1:2, ls] = st[1:2, ls] + jnp.any(better).astype(jnp.int32)
 
         def cluster_step(c):
-            t_best = t_ref[:]
-            enter = _box_enter(caabb_ref, c, rays_ref, t_best)
+            enter = _box_enter(caabb_ref, c, rays_ref, t_ref[:])
 
             @pl.when(jnp.any(enter))
             def _():
                 off = pl.multiple_of(c * block_t, block_t)
                 tri_tile = tris_ref[pl.ds(off, block_t), :]
-                t, _ok = _tile_test(rays_ref, tri_tile, t_best)
-                t_min = jnp.min(t, axis=0, keepdims=True)
-                row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
-                tri_idx = (j * clusters_per_slab + c) * block_t + row
+                if subgroups == 1:
+                    _test_lanes(c, tri_tile, None)
+                else:
+                    # cull at 128-lane granularity: incoherent ray blocks
+                    # enter a cluster because of a handful of lanes; the
+                    # other sub-groups skip the triangle math entirely
+                    g = t_ref.shape[1] // subgroups
 
-                # strict improvement, EXCEPT the first hit may land exactly
-                # at the incoming t_max (the brute path's watertight
-                # in_range accepts t <= t_max; best-t init = t_max would
-                # report it as a miss). FLOAT_MAX guard keeps no-hit tiles
-                # from writing a phantom index.
-                better = (t_min < t_ref[:]) | (
-                    (t_min == t_ref[:]) & (idx_ref[:] < 0) & (t_min < FLOAT_MAX)
-                )
-                t_ref[:] = jnp.where(better, t_min, t_ref[:])
-                idx_ref[:] = jnp.where(better, tri_idx, idx_ref[:])
-                if stats:
-                    maybe_stats[0][:] = maybe_stats[0][:] + 1
+                    def grp(k, _):
+                        ls = pl.ds(pl.multiple_of(k * g, g), g)
+                        # recompute the slab test on the lane slice (Mosaic
+                        # can't dynamic-slice the block-wide mask value)
+                        e = _box_enter(caabb_ref, c, rays_ref,
+                                       t_ref[0:1, ls], ls)
+
+                        @pl.when(jnp.any(e))
+                        def _():
+                            _test_lanes(c, tri_tile, ls)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, subgroups, grp, 0)
 
         def sweep():
             if use_supers:
@@ -494,7 +530,7 @@ def _make_closest_kernel(block_t: int, clusters_per_slab: int,
 
 
 def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
-                     n_slabs: int):
+                     n_slabs: int, subgroups: int):
     def kernel(slab_aabb_ref, super_aabb_ref, caabb_ref, rays_ref, tris_ref,
                hit_ref):
         j = pl.program_id(1)
@@ -505,6 +541,12 @@ def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
 
         t_max = rays_ref[6:7, :]
 
+        def _test_lanes(tri_tile, lane_ds):
+            ls = slice(None) if lane_ds is None else lane_ds
+            _t, ok = _tile_test(rays_ref, tri_tile, rays_ref[6:7, ls], lane_ds)
+            any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+            hit_ref[0:1, ls] = jnp.maximum(hit_ref[0:1, ls], any_hit)
+
         def cluster_step(c):
             not_hit = hit_ref[:] == 0
             enter = _box_enter(caabb_ref, c, rays_ref, t_max) & not_hit
@@ -513,9 +555,24 @@ def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
             def _():
                 off = pl.multiple_of(c * block_t, block_t)
                 tri_tile = tris_ref[pl.ds(off, block_t), :]
-                _t, ok = _tile_test(rays_ref, tri_tile, t_max)
-                any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-                hit_ref[:] = jnp.maximum(hit_ref[:], any_hit)
+                if subgroups == 1:
+                    _test_lanes(tri_tile, None)
+                else:
+                    g = hit_ref.shape[1] // subgroups
+
+                    def grp(k, _):
+                        ls = pl.ds(pl.multiple_of(k * g, g), g)
+                        nh = hit_ref[0:1, ls] == 0
+                        e = _box_enter(caabb_ref, c, rays_ref,
+                                       rays_ref[6:7, ls], ls) & nh
+
+                        @pl.when(jnp.any(e))
+                        def _():
+                            _test_lanes(tri_tile, ls)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, subgroups, grp, 0)
 
         def sweep():
             if use_supers:
@@ -591,12 +648,13 @@ def _block_t_of(tris16, caabb) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "block_t", "block_r", "clusters_per_slab",
-                     "use_supers", "stats"),
+                     "use_supers", "stats", "subgroups"),
 )
 def tri_closest_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
                            block_t: int, clusters_per_slab: int,
                            use_supers: bool, interpret=False,
-                           block_r: int = BLOCK_R, stats: bool = False):
+                           block_r: int = BLOCK_R, stats: bool = False,
+                           subgroups: int = 1):
     """Closest-hit over prebuilt TriTables arrays. o/d: (N,3), t_max: (N,).
     Returns (t: (N,), tri: (N,) i32 table-row index, -1 on miss); with
     stats=True also (n_ray_blocks,) entered-cluster counts."""
@@ -612,13 +670,15 @@ def tri_closest_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
         pl.BlockSpec((1, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
     ]
     if stats:
-        out_shapes.append(jax.ShapeDtypeStruct((1, n_pad), jnp.int32))
+        out_shapes.append(jax.ShapeDtypeStruct((2, n_pad), jnp.int32))
         out_specs.append(
-            pl.BlockSpec((1, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((2, block_r), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         )
+    if subgroups > 1 and block_r % (subgroups * 128):
+        raise ValueError("subgroups must divide block_r into 128-lane multiples")
     outs = _slab_grid_call(
         _make_closest_kernel(block_t, clusters_per_slab, use_supers, stats,
-                             slab_aabb.shape[0]),
+                             slab_aabb.shape[0], subgroups),
         rays, tris16, caabb, saabb, slab_aabb,
         out_shapes=out_shapes, out_specs=out_specs,
         interpret=interpret, block_r=block_r, cps=clusters_per_slab,
@@ -629,26 +689,29 @@ def tri_closest_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
     idx = idx_out[0, :n]
     result = (jnp.where(idx >= 0, t, FLOAT_MAX), idx)
     if stats:
-        return result + (outs[2][0, ::block_r],)
+        # per-ray-block (entered, improved) tile counts
+        return result + (outs[2][0, ::block_r], outs[2][1, ::block_r])
     return result
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "block_t", "block_r", "clusters_per_slab",
-                     "use_supers"),
+                     "use_supers", "subgroups"),
 )
 def tri_any_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
                        block_t: int, clusters_per_slab: int,
                        use_supers: bool, interpret=False,
-                       block_r: int = BLOCK_R):
+                       block_r: int = BLOCK_R, subgroups: int = 1):
     """Any-hit (shadow) test over prebuilt TriTables arrays → (N,) bool."""
     n = o.shape[0]
     rays = pack_rays(o, d, t_max, block_r)
     n_pad = rays.shape[1]
+    if subgroups > 1 and block_r % (subgroups * 128):
+        raise ValueError("subgroups must divide block_r into 128-lane multiples")
     hit = _slab_grid_call(
         _make_any_kernel(block_t, clusters_per_slab, use_supers,
-                         slab_aabb.shape[0]),
+                         slab_aabb.shape[0], subgroups),
         rays, tris16, caabb, saabb, slab_aabb,
         out_shapes=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         out_specs=pl.BlockSpec((1, block_r), lambda i, j: (0, i),

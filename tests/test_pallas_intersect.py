@@ -286,3 +286,31 @@ def test_600k_tri_scene_matches_brute_subsample():
 
     assert np.array_equal(widx >= 0, ref_any)
     np.testing.assert_allclose(t[ref_any], ref_t[ref_any], rtol=5e-6, atol=0)
+
+
+def test_subgroup_predication_matches_brute():
+    """128-lane sub-group culling must only skip work, never change
+    results (the big-scene default: subgroups = block_r/128)."""
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
+        build_tri_tables,
+        tri_any_hit_tables,
+        tri_closest_hit_tables,
+    )
+
+    o, d, t_max, p0, p1, p2 = _random_scene(41, n_rays=700, n_tris=1300, spread=5.0)
+    tris = isect.TriangleArrays(p0, p1, p2, jnp.arange(1300, dtype=jnp.int32))
+    tables = build_tri_tables(p0, p1, p2, tris.prim, block_t=64,
+                              view_origin=np.array([0.0, 0.0, -9.0]),
+                              use_supers=True)
+    args = (jnp.asarray(tables.tris16), jnp.asarray(tables.cluster_aabbs),
+            jnp.asarray(tables.super_aabbs), jnp.asarray(tables.slab_aabbs))
+    kw = dict(block_t=tables.block_t,
+              clusters_per_slab=tables.clusters_per_slab,
+              use_supers=tables.use_supers, interpret=True, block_r=512)
+    t1, i1 = tri_closest_hit_tables(o, d, t_max, *args, subgroups=1, **kw)
+    t4, i4 = tri_closest_hit_tables(o, d, t_max, *args, subgroups=4, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+    h1 = tri_any_hit_tables(o, d, t_max, *args, subgroups=1, **kw)
+    h4 = tri_any_hit_tables(o, d, t_max, *args, subgroups=4, **kw)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h4))

@@ -30,7 +30,7 @@ from curry_pbrt_tpu.ops.halton import halton_sample
 from curry_pbrt_tpu.ops.intersect import offset_point_by_error
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 
-N = 1 << 20
+N = int(os.environ.get("PROFILE_N", 1 << 20))
 K1, K2 = 4, 12
 
 
@@ -64,7 +64,7 @@ def per_rep(name, body, init):
 
 def main():
     scene = compile_scene_file(
-        REPO / "scenes" / "cornell.pbrt",
+        REPO / "scenes" / os.environ.get("PROFILE_SCENE", "cornell.pbrt"),
         overrides={"resolution": (512, 512), "spp": 64, "max_depth": 5},
     )
     plan = plan_render(scene)
