@@ -53,9 +53,14 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
     # slab padding, all host-side (see build_tri_tables). Kernel-side
     # indices are table-row order; the permuted TriangleArrays carries
     # prim ids so Hit.prim needs no inverse mapping.
+    extra = {}
+    if os.environ.get("CURRY_SLAB_CLUSTERS"):  # sweep knob (PERF.md)
+        extra["clusters_per_slab"] = int(os.environ["CURRY_SLAB_CLUSTERS"])
+    if os.environ.get("CURRY_USE_SUPERS"):  # sweep knob: "0" / "1"
+        extra["use_supers"] = os.environ["CURRY_USE_SUPERS"] == "1"
     tables = build_tri_tables(
         tris.p0, tris.p1, tris.p2, tris.prim,
-        block_t=block_t, view_origin=view_origin,
+        block_t=block_t, view_origin=view_origin, **extra,
     )
     return tables, block_t, block_r, small
 

@@ -314,3 +314,35 @@ def test_subgroup_predication_matches_brute():
     h1 = tri_any_hit_tables(o, d, t_max, *args, subgroups=1, **kw)
     h4 = tri_any_hit_tables(o, d, t_max, *args, subgroups=4, **kw)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h4))
+
+
+def test_stats_outputs_do_not_change_results():
+    """stats=True (the roofline instrumentation) must return the same
+    (t, idx) plus sane entered/improved counters."""
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
+        build_tri_tables,
+        tri_closest_hit_tables,
+    )
+
+    o, d, t_max, p0, p1, p2 = _random_scene(51, n_rays=300, n_tris=900, spread=4.0)
+    tables = build_tri_tables(p0, p1, p2, np.arange(900, dtype=np.int32),
+                              block_t=64, use_supers=True)
+    args = (jnp.asarray(tables.tris16), jnp.asarray(tables.cluster_aabbs),
+            jnp.asarray(tables.super_aabbs), jnp.asarray(tables.slab_aabbs))
+    kw = dict(block_t=tables.block_t,
+              clusters_per_slab=tables.clusters_per_slab,
+              use_supers=tables.use_supers, interpret=True, block_r=512)
+    t0, i0 = tri_closest_hit_tables(o, d, t_max, *args, **kw)
+    t1, i1, entered, improved = tri_closest_hit_tables(
+        o, d, t_max, *args, stats=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    entered, improved = np.asarray(entered), np.asarray(improved)
+    n_clusters = tables.cluster_aabbs.shape[0]
+    assert entered.sum() > 0
+    # per-lane test counts are bounded by the cluster count
+    assert entered.max() <= n_clusters
+    # a hit implies at least one improving test somewhere
+    assert improved.sum() > 0
+    assert (improved <= entered).all()
