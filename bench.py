@@ -124,20 +124,51 @@ def _build(scene, res, spp, depth, integrator=None, intersector=None):
     return fn, params, po, px, sc
 
 
+MAX_CHUNKS_PER_DISPATCH = 512  # a single device execution beyond ~5 min
+# reproducibly crashes the axon TPU worker (observed on mesh10k_1024_full:
+# 8192 chunks ≈ 6.5 min in one lax.map); huge configs run as equal-size
+# dispatch groups instead — same compiled fn, same per-chunk work
+
+
 def run_config(scene, res, spp, depth, integrator=None, intersector=None,
                passes=None):
     """→ dict with wall (median), segments, rays/s."""
     passes = PASSES if passes is None else passes
     fn, params, po, px, sc = _build(scene, res, spp, depth, integrator, intersector)
+    k = po.shape[0]
+    if k > MAX_CHUNKS_PER_DISPATCH:
+        n_groups = -(-k // MAX_CHUNKS_PER_DISPATCH)
+        g = -(-k // n_groups)
+        import numpy as _np
+
+        po = _np.asarray(po)
+        px = _np.asarray(px)
+        pad = n_groups * g - k
+        po = _np.concatenate([po, _np.zeros((pad,) + po.shape[1:], po.dtype)])
+        px = _np.concatenate([px, _np.zeros((pad,) + px.shape[1:], px.dtype)])
+        groups = [(po[i * g:(i + 1) * g], px[i * g:(i + 1) * g])
+                  for i in range(n_groups)]
+        # padding chunks re-render pixel (0,0); their radiance lands in the
+        # checksum, which is fine — checksums only gate run-to-run drift of
+        # the SAME config
+    else:
+        groups = [(po, px)]
+
+    def full_pass():
+        checksum = segments = 0.0
+        for gpo, gpx in groups:
+            s, seg = fn(params, gpo, gpx)
+            checksum += float(s)
+            segments += float(seg)
+        return checksum, segments
+
     # warm-up: compile + one full pass (block via scalar fetch — the axon
     # backend's block_until_ready doesn't reliably block)
-    s, seg = fn(params, po, px)
-    float(s)
+    full_pass()
     walls = []
     for _ in range(passes):
         t0 = time.time()
-        s, seg = fn(params, po, px)
-        checksum, segments = float(s), float(seg)
+        checksum, segments = full_pass()
         walls.append(time.time() - t0)
     wall = statistics.median(walls)
     xres, yres = sc.settings.resolution

@@ -169,7 +169,12 @@ def plan_render(
             n_prims = scene.tris.count + scene.spheres.count
             if backend_used == "brute" and n_prims > 0:
                 target_rays = min(target_rays, max((1 << 26) // n_prims, 1 << 15))
-        chunk_pixels = max(min(target_rays // max(spp, 1), xres * yres), 256)
+        # floor on RAYS (not pixels): at 256 spp a 256-pixel floor would
+        # double the tuned 32k-ray chunk (and the 65k shape correlates with
+        # axon TPU worker crashes on the full config-5 run — PERF.md r4)
+        n_pixels = xres * yres
+        min_pixels = min(-(-4096 // max(spp, 1)), n_pixels)
+        chunk_pixels = max(min(target_rays // max(spp, 1), n_pixels), min_pixels)
     dim_base = 4 if scene.camera.has_lens else 2
     return RenderPlan(
         scene=scene,
@@ -307,6 +312,12 @@ def _render_all(plan: RenderPlan, params, po_chunks, px_chunks, tick=None):
     return imgs, total, worst_xys[worst_chunk]
 
 
+# A single device execution beyond ~5 minutes reproducibly crashes the
+# shared axon TPU worker; whole-film renders bigger than this many chunks
+# run as equal-size dispatch groups through the same compiled fn.
+MAX_CHUNKS_PER_DISPATCH = 512
+
+
 def render_scene(
     scene: Scene,
     params=None,
@@ -319,14 +330,31 @@ def render_scene(
     params = scene.init_params if params is None else params
     xres, yres = scene.settings.resolution
     po, px, n_pixels = _chunked_pixel_arrays(plan)
+    k = po.shape[0]
+    if k > MAX_CHUNKS_PER_DISPATCH:
+        n_groups = -(-k // MAX_CHUNKS_PER_DISPATCH)
+        g = -(-k // n_groups)
+        pad = n_groups * g - k
+        po = np.concatenate([po, np.zeros((pad,) + po.shape[1:], po.dtype)])
+        px = np.concatenate([px, np.zeros((pad,) + px.shape[1:], px.dtype)])
+        groups = [(po[i * g:(i + 1) * g], px[i * g:(i + 1) * g])
+                  for i in range(n_groups)]
+    else:
+        groups = [(po, px)]
 
     live = show_progress and po.shape[0] > 1 and _host_callbacks_supported()
     t0 = time.time()
     with progress(po.shape[0], enabled=live) as tick:
         fn = jax.jit(partial(_render_all, plan, tick=tick if live else None))
-        imgs, nan_total, worst_xy = fn(params, jnp.asarray(po), jnp.asarray(px))
-        out = np.asarray(imgs)
-    nan_total = int(nan_total)
+        img_parts, nan_totals, worst_xys = [], [], []
+        for gpo, gpx in groups:
+            imgs, nan_g, worst_g = fn(params, jnp.asarray(gpo), jnp.asarray(gpx))
+            img_parts.append(np.asarray(imgs))
+            nan_totals.append(int(nan_g))
+            worst_xys.append(np.asarray(worst_g))
+        out = np.concatenate(img_parts, axis=0) if len(img_parts) > 1 else img_parts[0]
+        worst_xy = worst_xys[int(np.argmax(nan_totals))]
+        nan_total = sum(nan_totals)
     if nan_total > 0:
         x, y = np.asarray(worst_xy)
         log.warning(
