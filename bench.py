@@ -162,9 +162,16 @@ def run_config(scene, res, spp, depth, integrator=None, intersector=None,
             segments += float(seg)
         return checksum, segments
 
-    # warm-up: compile + one full pass (block via scalar fetch — the axon
-    # backend's block_until_ready doesn't reliably block)
-    full_pass()
+    # warm-up: compile + warm pass (block via scalar fetch — the axon
+    # backend's block_until_ready doesn't reliably block). Grouped configs
+    # warm on the first group only: one group compiles + warms the same
+    # executable the remaining groups reuse, and a full extra pass would
+    # double the minutes-long mesh10k_1024_full run.
+    if len(groups) > 1:
+        s0, seg0 = fn(params, *groups[0])
+        float(s0)
+    else:
+        full_pass()
     walls = []
     for _ in range(passes):
         t0 = time.time()

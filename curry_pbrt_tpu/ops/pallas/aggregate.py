@@ -81,6 +81,17 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     # with all-padding tiles)
     have_tris = bool((np.asarray(tris.prim) >= 0).any())
     have_sph = bool((np.asarray(sph.prim) >= 0).any())
+    n_sph = int((np.asarray(sph.prim) >= 0).sum())
+    if n_sph > 256:
+        # spheres take the dense jnp path (O(N·S)); every reference scene
+        # has ≤3. A sphere-cluster kernel is the fix if this ever matters.
+        from curry_pbrt_tpu.utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            "scene has %d spheres; the sphere intersect path is dense "
+            "O(rays x spheres) and will dominate beyond a few hundred — "
+            "consider meshing them", n_sph,
+        )
     # Mosaic only compiles on TPU; everywhere else (the 8-device CPU test
     # platform) the kernel runs in interpret mode — same math, same results.
     interp = jax.default_backend() != "tpu"
