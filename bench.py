@@ -69,11 +69,6 @@ SECONDARY = {
              intersector="pallas"),
         PASSES, "mesh10k_512",
     ),
-    "mesh10k_1024_full": (
-        dict(scene="mesh10k.pbrt", res=1024, spp=256, depth=8,
-             intersector="pallas"),
-        1, "mesh10k_512",  # full-size CPU pass would take hours; same unit
-    ),
     "mesh100k_512": (
         dict(scene="mesh100k.pbrt", res=512, spp=16, depth=8,
              intersector="pallas"),
@@ -83,6 +78,13 @@ SECONDARY = {
         dict(scene="mesh600k.pbrt", res=256, spp=4, depth=5,
              intersector="pallas"),
         2, None,
+    ),
+    # LAST: ~7 minutes (warm group + one full pass) — if an external
+    # timeout cuts the bench short, the cheap configs are already recorded
+    "mesh10k_1024_full": (
+        dict(scene="mesh10k.pbrt", res=1024, spp=256, depth=8,
+             intersector="pallas"),
+        1, "mesh10k_512",  # full-size CPU pass would take hours; same unit
     ),
 }
 
