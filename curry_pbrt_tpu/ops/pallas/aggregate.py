@@ -108,10 +108,12 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         caabb = jnp.asarray(tables.cluster_aabbs)
         saabb = jnp.asarray(tables.super_aabbs)
         slab_aabb = jnp.asarray(tables.slab_aabbs)
-        # 128-lane sub-group predication: incoherent ray blocks enter a
+        # 256-lane sub-group predication: incoherent ray blocks enter a
         # cluster because of a handful of lanes; the other sub-groups skip
-        # the tile math (off for small scenes, where everything enters)
-        subgroups = 1 if small else block_r // 128
+        # the tile math (off for small scenes, where everything enters).
+        # Swept 128/256/512-lane groups on mesh10k/100k/600k — 256 wins
+        # everywhere (128 over-pays in per-group box recomputes): PERF.md r4
+        subgroups = 1 if small else max(block_r // 256, 1)
         if os.environ.get("CURRY_SUBGROUPS"):  # sweep knob
             subgroups = int(os.environ["CURRY_SUBGROUPS"])
         kern_kw = dict(
