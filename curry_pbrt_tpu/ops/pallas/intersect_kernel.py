@@ -689,8 +689,10 @@ def tri_closest_hit_tables(o, d, t_max, tris16, caabb, saabb, slab_aabb, *,
     idx = idx_out[0, :n]
     result = (jnp.where(idx >= 0, t, FLOAT_MAX), idx)
     if stats:
-        # per-ray-block (entered, improved) tile counts
-        return result + (outs[2][0, ::block_r], outs[2][1, ::block_r])
+        # per-LANE (entered, improved) tile-test counts: every lane of a
+        # sub-group carries its group's count, so sum(row)·block_t is the
+        # exact number of (tri, lane) pair tests executed
+        return result + (outs[2][0, :n], outs[2][1, :n])
     return result
 
 

@@ -91,6 +91,7 @@ def analyze(scene_name, depth, chunk_rays, seed=0):
         jnp.asarray(tables.p0), jnp.asarray(tables.p1),
         jnp.asarray(tables.p2), jnp.asarray(tables.prim),
     )
+    subgroups = 1 if small else max(block_r // 256, 1)  # production default
     kern = partial(
         tri_closest_hit_tables,
         tris16=jnp.asarray(tables.tris16),
@@ -98,7 +99,7 @@ def analyze(scene_name, depth, chunk_rays, seed=0):
         saabb=jnp.asarray(tables.super_aabbs),
         slab_aabb=jnp.asarray(tables.slab_aabbs),
         block_t=block_t, clusters_per_slab=tables.clusters_per_slab,
-        use_supers=tables.use_supers,
+        use_supers=tables.use_supers, subgroups=subgroups,
         interpret=jax.default_backend() != "tpu", block_r=block_r,
     )
 
@@ -123,15 +124,17 @@ def analyze(scene_name, depth, chunk_rays, seed=0):
     for bounce in range(depth):
         t_max = jnp.where(active, 1e30, 0.0)
         t, idx, entered, improved = kern(o, d, t_max, stats=True)
-        entered_t = int(np.sum(entered))
+        # per-lane tile-test counts: sum(entered)·block_t = exact pair tests
+        entered_t = int(np.sum(entered))  # lane-tests
         improved_t = int(np.sum(improved))
-        n_blocks = int(np.ceil(n_pix / block_r))
-        possible = n_blocks * n_clusters_real
+        possible = n_pix * n_clusters_real
 
         wall = _timed_call(lambda o=o, d=d, t_max=t_max: kern(o, d, t_max))
-        flops = entered_t * block_t * block_r * TILE_FLOPS_PER_PAIR
-        total_flops += flops
-        total_wall += wall
+        flops = entered_t * block_t * TILE_FLOPS_PER_PAIR
+        resolvable = wall >= 50e-6  # Δreps resolution under tunnel noise
+        if resolvable:
+            total_flops += flops
+            total_wall += wall
         rows.append(
             dict(
                 bounce=bounce,
@@ -139,9 +142,9 @@ def analyze(scene_name, depth, chunk_rays, seed=0):
                 entered_tiles=entered_t,
                 skip_pct=round(100 * (1 - entered_t / max(possible, 1)), 1),
                 useful_pct=round(100 * improved_t / max(entered_t, 1), 1),
-                wall_ms=round(wall * 1e3, 3),
-                tflops=round(flops / wall / 1e12, 3),
-                vpu_pct=round(100 * flops / wall / VPU_PEAK, 1),
+                wall_ms=round(wall * 1e3, 3) if resolvable else None,
+                tflops=round(flops / wall / 1e12, 3) if resolvable else None,
+                vpu_pct=round(100 * flops / wall / VPU_PEAK, 1) if resolvable else None,
             )
         )
 
@@ -192,6 +195,11 @@ def main():
         print(f"\n== {scene}: clusters={s['clusters']} supers={s['supers']} "
               f"slabs={s['slabs']} block_t={s['block_t']} block_r={s['block_r']}")
         for r in s["bounces"]:
+            if r["wall_ms"] is None:
+                print(f"  bounce {r['bounce']}: active={r['active']:>6} "
+                      f"skip={r['skip_pct']:5.1f}% useful={r['useful_pct']:5.1f}% "
+                      "wall below 50 µs timing resolution")
+                continue
             print(f"  bounce {r['bounce']}: active={r['active']:>6} "
                   f"skip={r['skip_pct']:5.1f}% useful={r['useful_pct']:5.1f}% "
                   f"wall={r['wall_ms']:8.3f} ms  {r['tflops']:6.3f} Tf/s "
