@@ -79,14 +79,30 @@ SECONDARY = {
              intersector="pallas"),
         2, None,
     ),
-    # LAST: ~7 minutes (warm group + one full pass) — if an external
+    # LAST: ~12 minutes (warm group + two full passes) — if an external
     # timeout cuts the bench short, the cheap configs are already recorded
     "mesh10k_1024_full": (
         dict(scene="mesh10k.pbrt", res=1024, spp=256, depth=8,
              intersector="pallas"),
-        1, "mesh10k_512",  # full-size CPU pass would take hours; same unit
+        2, "mesh10k_512",  # full-size CPU pass would take hours; same unit
     ),
 }
+
+# Bit-level TPU regression gate (VERDICT r4 item 8): expected per-config
+# image checksums on the TPU backend. The renderer is seeded/deterministic,
+# so any drift means a codegen or numerics change; the bench fails loudly
+# (exit 2, `checksum_failures` in the JSON). After an INTENTIONAL numerics
+# change (with its regenerated goldens + PERF.md entry), regenerate with
+# CURRY_UPDATE_CHECKSUMS=1, which prints the new table instead of failing.
+EXPECTED_TPU_CHECKSUMS = {
+    "cornell_tex_512_headline": 86446.0,
+    "spheres_direct_256": 60703.7,
+    "mesh10k_512": 318225.1,
+    "mesh100k_512": 319003.6,
+    "mesh600k_256": 79705.3,
+    "mesh10k_1024_full": 1273154.2,
+}
+CHECKSUM_ATOL = 0.05  # the stored values are rounded to 0.1
 
 # configs captured on the CPU backend for vs_baseline ratios
 CPU_BASELINE_CONFIGS = {
@@ -139,20 +155,16 @@ def run_config(scene, res, spp, depth, integrator=None, intersector=None,
     fn, params, po, px, sc = _build(scene, res, spp, depth, integrator, intersector)
     k = po.shape[0]
     if k > MAX_CHUNKS_PER_DISPATCH:
-        n_groups = -(-k // MAX_CHUNKS_PER_DISPATCH)
-        g = -(-k // n_groups)
-        import numpy as _np
-
-        po = _np.asarray(po)
-        px = _np.asarray(px)
-        pad = n_groups * g - k
-        po = _np.concatenate([po, _np.zeros((pad,) + po.shape[1:], po.dtype)])
-        px = _np.concatenate([px, _np.zeros((pad,) + px.shape[1:], px.dtype)])
+        # group size = the largest divisor of k within the dispatch cap, so
+        # padding chunks never exist — a padding chunk would re-render pixel
+        # (0,0) and its traced segments would self-inflate rays_per_sec
+        # (advisor r4). Every shipped config has power-of-two k; a prime k
+        # would degrade to g=1 (correct, just more dispatches).
+        g = next(gg for gg in range(MAX_CHUNKS_PER_DISPATCH, 0, -1)
+                 if k % gg == 0)
+        n_groups = k // g
         groups = [(po[i * g:(i + 1) * g], px[i * g:(i + 1) * g])
                   for i in range(n_groups)]
-        # padding chunks re-render pixel (0,0); their radiance lands in the
-        # checksum, which is fine — checksums only gate run-to-run drift of
-        # the SAME config
     else:
         groups = [(po, px)]
 
@@ -339,6 +351,28 @@ def main():
                 for k, v in roof.get("scenes", {}).items()
             },
         }
+
+    # bit-level TPU regression gate (see EXPECTED_TPU_CHECKSUMS)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        failures = {}
+        for name, cfg in configs.items():
+            exp = EXPECTED_TPU_CHECKSUMS.get(name)
+            got = cfg.get("checksum")
+            if exp is not None and got is not None and abs(got - exp) > CHECKSUM_ATOL:
+                failures[name] = {"expected": exp, "got": got}
+        if failures and os.environ.get("CURRY_UPDATE_CHECKSUMS") == "1":
+            new = {n: c["checksum"] for n, c in configs.items() if "checksum" in c}
+            print(f"EXPECTED_TPU_CHECKSUMS = {json.dumps(new, indent=4)}",
+                  file=sys.stderr)
+        elif failures:
+            result["checksum_failures"] = failures
+            print(json.dumps(result))
+            print(f"CHECKSUM MISMATCH (TPU regression gate): {failures} — "
+                  "if intentional, regenerate with CURRY_UPDATE_CHECKSUMS=1",
+                  file=sys.stderr)
+            raise SystemExit(2)
     print(json.dumps(result))
 
 

@@ -327,7 +327,9 @@ def path_trace(
         o, d, L, beta, active, specular, bounce, segments = carry
         u = dict(zip(_U_KEYS, u_rows))
         # dead lanes carry a stale ray; t_max 0 makes every box test in the
-        # intersector fail instantly for them instead of re-traversing
+        # intersector fail instantly for them instead of re-traversing (the
+        # kernel's _box_enter gates on t_best > 0 explicitly, so even a
+        # stale origin sitting inside a cluster AABB cannot enter it)
         lane_tmax = jnp.where(active, FLOAT_MAX, 0.0)
         hit = ctx.intersect(o, d, lane_tmax)
         segments = segments + jnp.sum(active.astype(Float))

@@ -96,6 +96,11 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     # platform) the kernel runs in interpret mode — same math, same results.
     interp = jax.default_backend() != "tpu"
 
+    # bound unconditionally so the tri closures below are safe no-ops on
+    # sphere-only scenes (every current call site is guarded by have_tris,
+    # but a future unguarded call should not NameError)
+    use_sort = False
+
     if have_tris:
         import os
 
@@ -154,7 +159,12 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     def _sort_key(o, d, t_max):
         """(N,) u32: origin 8³ Morton cell (high bits) × direction octant
         (low); dead lanes (t_max <= 0) last."""
-        q = jnp.clip(((o - lo3) / ext3 * 8.0).astype(jnp.uint32), 0, 7)
+        # clip in FLOAT space before the uint cast: float->uint conversion
+        # of negative values is implementation-defined in XLA (0 on CPU,
+        # arbitrary on TPU), and origins outside the scene AABB are common
+        # (camera, escaped bounces) — a post-cast clip could land them in
+        # the wrong Morton cell and silently degrade sort coherence
+        q = jnp.clip((o - lo3) / ext3 * 8.0, 0.0, 7.0).astype(jnp.uint32)
 
         def spread3(x):  # 3 bits → every 3rd bit
             x = (x | (x << 4)) & jnp.uint32(0x0C3)

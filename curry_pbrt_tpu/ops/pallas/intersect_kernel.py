@@ -338,7 +338,12 @@ def _box_enter(aabb_ref, row, rays_ref, t_best, lane_ds=None):
     nz, fz = slab(bmin_z, bmax_z, oz, iz)
     tn = jnp.maximum(nx, jnp.maximum(ny, nz))
     tf = jnp.minimum(fx, jnp.minimum(fy, fz))
-    return (tn <= tf) & (tn < t_best) & (tf > 0.0)
+    # `t_best > 0` is the dead-lane gate: integrators pass t_max=0 for lanes
+    # whose result is discarded, but a stale origin sitting ON its last hit
+    # is inside that cluster's AABB (tn < 0 < tf), so without this check the
+    # lane still enters and triggers tile tests it can never win (t_best=0
+    # blocks any hit) — the check makes the skip unconditional.
+    return (tn <= tf) & (tn < t_best) & (tf > 0.0) & (t_best > 0.0)
 
 
 def _tile_test(rays_ref, tris_ref, t_best, lane_ds=None):
