@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--res", type=int, nargs=2, metavar=("X", "Y"), help="resolution override")
     ap.add_argument("--max-depth", type=int, help="path depth override")
     ap.add_argument("--integrator", choices=["path", "directlighting"])
+    ap.add_argument("--filter", choices=["box", "triangle"],
+                    help="reconstruction filter override")
     ap.add_argument(
         "--intersector", choices=["brute", "bvh", "pallas"], help="force a backend"
     )
@@ -39,6 +41,8 @@ def main(argv=None):
         overrides["max_depth"] = args.max_depth
     if args.integrator is not None:
         overrides["integrator"] = args.integrator
+    if args.filter is not None:
+        overrides["filter"] = args.filter
     if args.no_clip:
         overrides["clip"] = False
 

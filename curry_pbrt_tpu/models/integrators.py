@@ -65,7 +65,7 @@ class ShadeContext:
     families: List[MaterialFamily]  # shading dispatch groups over `materials`
     registry: dict  # named materials (for mix)
     lights: LT.LightArrays
-    env: Optional[LT.EnvMap]
+    envs: List[LT.EnvMap]  # one per infinite light (lights.env_id indexes)
     n_lights: int
     mat_is_all_delta: np.ndarray  # host (M_total,) indexed by mat_id
     intersect: Callable  # (o, d, t_max) -> Hit
@@ -188,7 +188,7 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u,
     light_idx = jnp.minimum(lf.astype(jnp.int32), ctx.n_lights - 1)
 
     ls = LT.sample_li(
-        ctx.lights, ctx.env, light_L, light_idx, p, n, perr,
+        ctx.lights, ctx.envs, light_L, light_idx, p, n, perr,
         jnp.stack([u["light_u"], u["light_v"]], axis=-1),
     )
     chosen_delta = m.take_small(ctx.lights.is_delta, light_idx)
@@ -233,10 +233,17 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u,
     ld_hit = li2 * f2 * (cos2 * m.power_heuristic(f2_pdf, li2_pdf) / safe_f2_pdf)[:, None]
     ok_hit = same_light & (li2_pdf != 0)
 
-    if ctx.env is not None:
+    if ctx.envs:
+        # escaped-env MIS leg through the CHOSEN light's own map
         chosen_inf = m.take_small(ctx.lights.type_id, light_idx) == LT.TYPE_INFINITE
-        le3 = LT.eval_env(ctx.env, wi2) * m.take_small(light_L, light_idx)
-        le3_pdf = LT.env_out_scene_pdf(ctx.env, wi2)
+        eids = m.take_small(jnp.asarray(ctx.lights.env_id), light_idx)
+        le3 = jnp.zeros((N, 3), Float)
+        le3_pdf = jnp.zeros((N,), Float)
+        for eid, env in enumerate(ctx.envs):
+            sel_e = eids == eid
+            le3 = jnp.where(sel_e[:, None], LT.eval_env(env, wi2), le3)
+            le3_pdf = jnp.where(sel_e, LT.env_out_scene_pdf(env, wi2), le3_pdf)
+        le3 = le3 * m.take_small(light_L, light_idx)
         ld_esc = le3 * f2 * (cos2 * m.power_heuristic(f2_pdf, le3_pdf) / safe_f2_pdf)[:, None]
         ok_esc = (hit2_prim < 0) & chosen_inf & (le3_pdf != 0)
     else:
@@ -320,7 +327,7 @@ def path_trace(
         hit_light = jnp.where(hit_prim >= 0, hit_light, -1)
         le = LT.le_emitted(light_L, jnp.where(gate, hit_light, -1))
         L = L + beta * le
-        esc = LT.le_out_scene_total(ctx.lights, ctx.env, light_L, d)
+        esc = LT.le_out_scene_total(ctx.lights, ctx.envs, light_L, d)
         return L + jnp.where((gate & ~hit_valid)[:, None], beta * esc, 0.0)
 
     def bounce_body(carry, u_rows):
@@ -446,7 +453,7 @@ def direct_light_trace(
         # le for light-prims (direct_light.rs:33-35), escaped env otherwise
         le = LT.le_emitted(light_L, jnp.where(live & (hit_light >= 0), hit_light, -1))
         out = out + weight * le
-        esc = LT.le_out_scene_total(ctx.lights, ctx.env, light_L, d)
+        esc = LT.le_out_scene_total(ctx.lights, ctx.envs, light_L, d)
         out = out + jnp.where((live & ~hit.valid)[:, None], weight * esc, 0.0)
 
         dim0 = dim_base + DIMS_PER_BOUNCE * depth

@@ -74,6 +74,10 @@ class LightArrays(NamedTuple):
     sph_w2o: np.ndarray
     sph_radius: np.ndarray  # (L,)
     area: np.ndarray  # (L,) object-space area (tri or sphere)
+    # infinite lights: index into the scene's env-map list (-1 otherwise).
+    # The reference parses any number of infinite lights
+    # (light/mod.rs:43-64); each keeps its own map + importance table.
+    env_id: np.ndarray  # (L,) i32
 
     @property
     def count(self) -> int:
@@ -82,9 +86,8 @@ class LightArrays(NamedTuple):
 
 @dataclass
 class EnvMap:
-    """Single environment map (at most one infinite light is typical; the
-    reference supports several — we keep one env per scene and replicate its
-    radiance row in params['light_L'] as a tint)."""
+    """One environment map (one per infinite light; its radiance tint is the
+    light's row in params['light_L'])."""
 
     image: jnp.ndarray  # (H, W, 3)
     dist: Distribution2D
@@ -111,6 +114,7 @@ def empty_lights() -> LightArrays:
         vec=z3, tri_p0=z3, tri_p1=z3, tri_p2=z3,
         sph_o2w=np.zeros((0, 4, 4), np.float32), sph_w2o=np.zeros((0, 4, 4), np.float32),
         sph_radius=np.zeros((0,), np.float32), area=np.zeros((0,), np.float32),
+        env_id=np.full((0,), -1, np.int32),
     )
 
 
@@ -144,7 +148,7 @@ def types_present(lights: LightArrays):
 
 def sample_li(
     lights: LightArrays,
-    env: Optional[EnvMap],
+    envs,  # sequence of EnvMap (one per infinite light, indexed by env_id)
     light_L,  # (L,3) from params
     light_idx,  # (N,)
     p, n, p_err,  # surface shape point (N,3) each
@@ -285,25 +289,30 @@ def sample_li(
         to_n = jnp.where(sel[:, None], sn_w, to_n)
         to_err = jnp.where(sel[:, None], serr_w, to_err)
 
-    # ---- INFINITE: env importance sample
-    if env is not None and TYPE_INFINITE in tp:
-        sel = t == TYPE_INFINITE
-        uv, density = sample_2d_continuous(env.dist, u2)
-        # rows=θ, cols=φ (consistent mapping; see module docstring)
-        theta_n, phi_n = uv[:, 0], uv[:, 1]
-        wi_env = m.normalized_phi_theta_to_spherical(
-            jnp.stack([phi_n, theta_n], axis=-1)
-        )
-        sin_theta = jnp.sin(theta_n * np.pi)
-        pdf_env = jnp.where(
-            sin_theta != 0, density / (2.0 * np.pi * np.pi * sin_theta), 0.0
-        )
-        li_env = eval_env(env, wi_env) * L
-        wi = jnp.where(sel[:, None], wi_env, wi)
-        li = jnp.where(sel[:, None], li_env, li)
-        pdf = jnp.where(sel, pdf_env, pdf)
-        present = jnp.where(sel, True, present)
-        unbounded = unbounded | sel
+    # ---- INFINITE: env importance sample. Each infinite light samples its
+    # OWN map's 2-D table — lanes select their map by the chosen light's
+    # env_id (a second importance table is a handful of extra VPU ops only
+    # in multi-env scenes; single-env scenes run exactly one iteration).
+    if envs and TYPE_INFINITE in tp:
+        eids = _gather(jnp.asarray(lights.env_id), light_idx)
+        for eid, env in enumerate(envs):
+            sel = (t == TYPE_INFINITE) & (eids == eid)
+            uv, density = sample_2d_continuous(env.dist, u2)
+            # rows=θ, cols=φ (consistent mapping; see module docstring)
+            theta_n, phi_n = uv[:, 0], uv[:, 1]
+            wi_env = m.normalized_phi_theta_to_spherical(
+                jnp.stack([phi_n, theta_n], axis=-1)
+            )
+            sin_theta = jnp.sin(theta_n * np.pi)
+            pdf_env = jnp.where(
+                sin_theta != 0, density / (2.0 * np.pi * np.pi * sin_theta), 0.0
+            )
+            li_env = eval_env(env, wi_env) * L
+            wi = jnp.where(sel[:, None], wi_env, wi)
+            li = jnp.where(sel[:, None], li_env, li)
+            pdf = jnp.where(sel, pdf_env, pdf)
+            present = jnp.where(sel, True, present)
+            unbounded = unbounded | sel
 
     # ---- visibility rays
     # bounded: two-point ray with both endpoints offset (VisibilityTester::new)
@@ -339,15 +348,15 @@ def env_out_scene_pdf(env: EnvMap, w):
     return jnp.where(sin_theta != 0, density / (2.0 * np.pi * np.pi * sin_theta), 0.0)
 
 
-def le_out_scene_total(lights: LightArrays, env: Optional[EnvMap], light_L, d):
+def le_out_scene_total(lights: LightArrays, envs, light_L, d):
     """Σ over lights of le_out_scene(ray) — only infinite lights contribute
-    (path.rs:24-28). d: (N,3) ray directions → (N,3)."""
-    if env is None:
-        return jnp.zeros(d.shape[:-1] + (3,), Float)
-    base = eval_env(env, d)
-    is_inf = lights.type_id == TYPE_INFINITE
-    tint = jnp.sum(jnp.where(is_inf[:, None], light_L, 0.0), axis=0)
-    return base * tint[None, :]
+    (path.rs:24-28), each through its own map. d: (N,3) → (N,3)."""
+    out = jnp.zeros(d.shape[:-1] + (3,), Float)
+    for eid, env in enumerate(envs or ()):
+        is_mine = (lights.type_id == TYPE_INFINITE) & (lights.env_id == eid)
+        tint = jnp.sum(jnp.where(is_mine[:, None], light_L, 0.0), axis=0)
+        out = out + eval_env(env, d) * tint[None, :]
+    return out
 
 
 def le_emitted(light_L, light_idx):

@@ -94,3 +94,43 @@ filter_splat.defvjp(_splat_fwd, _splat_bwd)
 
 def normalize_splat(film, wsum):
     return film / jnp.maximum(wsum, 1e-12)[:, None]
+
+
+def triangle_taps(film_xy, radiance, xres: int, yres: int):
+    """Expand each sample into its 4 tent-filter taps for `filter_splat`.
+
+    film_xy: (M,2) continuous sample positions (pixel centers at integer
+    coordinates, the generate_rays convention); radiance: (M,3). A
+    radius-1 triangle (tent) filter covers exactly the 2×2 integer pixels
+    around the sample with bilinear weights w = (1-|dx|)(1-|dy|). Taps
+    falling off the film get weight 0 (pbrt discards them); NaN samples get
+    weight 0 on all taps (the box path's NaN-drop, render.rs:34-40).
+
+    Returns (rad: (4M,3), pixel_ids: (4M,) i32, weights: (4M,)) — weights
+    and ids are detached (sample positions are not differentiable
+    parameters; see filter_splat's VJP).
+    """
+    fx, fy = film_xy[:, 0], film_xy[:, 1]
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx1 = fx - x0  # weight of the x0+1 tap
+    wy1 = fy - y0
+    bad = jnp.any(jnp.isnan(radiance), axis=-1)
+    rad = jnp.where(bad[:, None], 0.0, radiance)
+
+    rads, ids, ws = [], [], []
+    for ax, ay in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        px = x0 + ax
+        py = y0 + ay
+        w = (wx1 if ax else 1.0 - wx1) * (wy1 if ay else 1.0 - wy1)
+        inside = (px >= 0) & (px < xres) & (py >= 0) & (py < yres)
+        w = jnp.where(inside & ~bad, w, 0.0)
+        pid = jnp.clip(py, 0, yres - 1) * xres + jnp.clip(px, 0, xres - 1)
+        rads.append(rad)
+        ids.append(pid.astype(jnp.int32))
+        ws.append(w)
+    return (
+        jnp.concatenate(rads, axis=0),
+        jnp.concatenate(ids, axis=0),
+        jax.lax.stop_gradient(jnp.concatenate(ws, axis=0)),
+    )

@@ -46,6 +46,8 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
     small = tris.count <= 512
     block_t = 8 if small else 64
     block_r = 2048 if small else 1024
+    if os.environ.get("CURRY_BLOCK_T"):  # sweep knob (PERF.md)
+        block_t = int(os.environ["CURRY_BLOCK_T"])
     if os.environ.get("CURRY_BLOCK_R"):  # sweep knob (PERF.md)
         block_r = int(os.environ["CURRY_BLOCK_R"])
 

@@ -109,7 +109,7 @@ def make_shade_context(scene: Scene, intersector: Optional[str] = None) -> I.Sha
         families=build_families(used),
         registry=scene.material_registry,
         lights=scene.lights,
-        env=scene.env,
+        envs=scene.envs,
         n_lights=scene.n_lights,
         mat_is_all_delta=all_delta,
         intersect=inter,
@@ -187,10 +187,12 @@ def plan_render(
     )
 
 
-def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy, nan_counts=False):
-    """pix_offsets: (C,) uint32; pix_xy: (C,2) f32 integer pixel coords.
-    Returns (C, 3) pixel radiance (box-filtered mean over spp); with
-    nan_counts=True also (C,) dropped-NaN-sample counts."""
+def _chunk_sample_radiance(plan: RenderPlan, params, pix_offsets, pix_xy,
+                           count_rays=False):
+    """Per-SAMPLE radiance for one pixel chunk (shared by the box and
+    filter-splat film paths). pix_offsets: (C,) uint32; pix_xy: (C,2) f32
+    integer pixel coords. Returns (radiance (C·spp,3), film_xy (C·spp,2))
+    and, with count_rays, the traced-segment count."""
     scene, cfg = plan.scene, plan.cfg
     spp = scene.settings.spp
     C = pix_offsets.shape[0]
@@ -206,49 +208,51 @@ def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy, nan_counts=Fals
     o, d = generate_rays(scene.camera, film_xy, lens_u)
 
     if scene.settings.integrator == "path":
-        radiance = I.path_trace(
+        out = I.path_trace(
             plan.ctx, params, o, d, indices, cfg, plan.perms,
-            scene.settings.max_depth, plan.dim_base,
+            scene.settings.max_depth, plan.dim_base, count_rays=count_rays,
         )
     elif scene.settings.integrator == "directlighting":
-        radiance = I.direct_light_trace(
+        out = I.direct_light_trace(
             plan.ctx, params, o, d, indices, cfg, plan.perms,
             scene.settings.max_depth, plan.dim_base, plan.max_delta_lobes(),
+            count_rays=count_rays,
         )
     else:
         raise ValueError(scene.settings.integrator)
+    if count_rays:
+        return out[0], film_xy, out[1]
+    return out, film_xy
 
-    return F.accumulate_box(radiance, spp, return_nan_counts=nan_counts)
+
+def _render_chunk(plan: RenderPlan, params, pix_offsets, pix_xy, nan_counts=False):
+    """(C, 3) pixel radiance (box-filtered mean over spp); with
+    nan_counts=True also (C,) dropped-NaN-sample counts."""
+    radiance, _ = _chunk_sample_radiance(plan, params, pix_offsets, pix_xy)
+    return F.accumulate_box(radiance, plan.scene.settings.spp,
+                            return_nan_counts=nan_counts)
 
 
 def _render_chunk_stats(plan: RenderPlan, params, pix_offsets, pix_xy):
     """Like _render_chunk but also returns traced-segment count (bench)."""
-    scene, cfg = plan.scene, plan.cfg
-    spp = scene.settings.spp
-    C = pix_offsets.shape[0]
-    offs = jnp.repeat(pix_offsets, spp)
-    sample_idx = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), (C,))
-    indices = halton_indices(offs, sample_idx, cfg)
-    jitter = halton_sample_2d(indices, 0, cfg, plan.perms) - 0.5
-    film_xy = jnp.repeat(pix_xy, spp, axis=0) + jitter
-    lens_u = (
-        halton_sample_2d(indices, 2, cfg, plan.perms) if scene.camera.has_lens else None
+    radiance, _, segments = _chunk_sample_radiance(
+        plan, params, pix_offsets, pix_xy, count_rays=True
     )
-    o, d = generate_rays(scene.camera, film_xy, lens_u)
-    if scene.settings.integrator == "path":
-        radiance, segments = I.path_trace(
-            plan.ctx, params, o, d, indices, cfg, plan.perms,
-            scene.settings.max_depth, plan.dim_base, count_rays=True,
-        )
-    elif scene.settings.integrator == "directlighting":
-        radiance, segments = I.direct_light_trace(
-            plan.ctx, params, o, d, indices, cfg, plan.perms,
-            scene.settings.max_depth, plan.dim_base, plan.max_delta_lobes(),
-            count_rays=True,
-        )
-    else:
-        raise ValueError(scene.settings.integrator)
-    return F.accumulate_box(radiance, spp), segments
+    return F.accumulate_box(radiance, plan.scene.settings.spp), segments
+
+
+def _render_chunk_splat(plan: RenderPlan, params, pix_offsets, pix_xy,
+                        n_pixels: int):
+    """One chunk's FULL-FILM filter-splat contribution: (film (n_pixels,3),
+    wsum (n_pixels,), nan_count). A sample's tent footprint may cross chunk
+    boundaries, so each chunk scatters into a whole-film accumulator (summed
+    across chunks by the caller) through filter_splat's custom VJP."""
+    radiance, film_xy = _chunk_sample_radiance(plan, params, pix_offsets, pix_xy)
+    xres, yres = plan.scene.settings.resolution
+    rad4, ids4, w4 = F.triangle_taps(film_xy, radiance, xres, yres)
+    film, wsum = F.filter_splat(rad4, ids4, w4, n_pixels)
+    n_bad = jnp.sum(jnp.any(jnp.isnan(radiance), axis=-1))
+    return film, wsum, n_bad
 
 
 def _chunked_pixel_arrays(plan: RenderPlan):
@@ -312,6 +316,28 @@ def _render_all(plan: RenderPlan, params, po_chunks, px_chunks, tick=None):
     return imgs, total, worst_xys[worst_chunk]
 
 
+def _render_all_splat(plan: RenderPlan, params, po_chunks, px_chunks,
+                      n_pixels: int):
+    """Whole-film filter-splat render in one dispatch: a `lax.scan` over
+    pixel chunks carrying the (film, wsum) accumulators — chunks must
+    accumulate (tent footprints cross chunk edges), so the box path's
+    independent per-chunk map doesn't apply. Returns un-normalized
+    (film, wsum, nan_total)."""
+
+    def body(carry, c):
+        film, wsum, nan_tot = carry
+        f, w, n_bad = _render_chunk_splat(plan, params, c[0], c[1], n_pixels)
+        return (film + f, wsum + w, nan_tot + n_bad), None
+
+    init = (
+        jnp.zeros((n_pixels, 3), Float),
+        jnp.zeros((n_pixels,), Float),
+        jnp.zeros((), jnp.int32),
+    )
+    (film, wsum, nan_tot), _ = jax.lax.scan(body, init, (po_chunks, px_chunks))
+    return film, wsum, nan_tot
+
+
 # A single device execution beyond ~5 minutes reproducibly crashes the
 # shared axon TPU worker; whole-film renders bigger than this many chunks
 # run as equal-size dispatch groups through the same compiled fn.
@@ -341,6 +367,32 @@ def render_scene(
                   for i in range(n_groups)]
     else:
         groups = [(po, px)]
+
+    if scene.settings.filter == "triangle":
+        # padding chunks exist host-side only; park their pixel coords far
+        # off-film so triangle_taps zero-weights every tap (the box path
+        # instead slices padded rows off after the fact)
+        px_flat = px.reshape(-1, 2)
+        px_flat[n_pixels:] = -8.0
+        t0 = time.time()
+        fn = jax.jit(partial(_render_all_splat, plan, n_pixels=n_pixels))
+        film = np.zeros((n_pixels, 3), np.float32)
+        wsum = np.zeros((n_pixels,), np.float32)
+        nan_total = 0
+        for gpo, gpx in groups:
+            f, w, n_bad = fn(params, jnp.asarray(gpo), jnp.asarray(gpx))
+            film += np.asarray(f)
+            wsum += np.asarray(w)
+            nan_total += int(n_bad)
+        if nan_total > 0:
+            log.warning(
+                "dropped %d NaN radiance sample(s) (filter-splat path) — "
+                "reference warns per sample (render.rs:34-40)", nan_total,
+            )
+        out = np.asarray(F.normalize_splat(jnp.asarray(film), jnp.asarray(wsum)))
+        log.info("rendered %dx%d @ %d spp (triangle filter) in %.2fs",
+                 xres, yres, scene.settings.spp, time.time() - t0)
+        return out.reshape(yres, xres, 3)
 
     live = show_progress and po.shape[0] > 1 and _host_callbacks_supported()
     t0 = time.time()

@@ -56,6 +56,10 @@ class RenderSettings:
     resolution: Tuple[int, int] = (640, 480)
     filename: str = "curry-pbrt.png"
     seed: int = 0
+    # reconstruction filter: 'box' (reference parity — film.rs:4-19 averages
+    # per-pixel samples) or 'triangle' (beyond-reference differentiable
+    # 2×2 tent splat through ops/film.py:filter_splat's custom VJP)
+    filter: str = "box"
 
 
 @dataclass
@@ -72,7 +76,7 @@ class Scene:
     materials: List[CompiledMaterial]
     material_registry: Dict[str, CompiledMaterial]
     lights: LightArrays
-    env: Optional[EnvMap]
+    envs: List[EnvMap]  # one per infinite light (lights.env_id indexes)
     camera: Camera
     settings: RenderSettings
     init_params: dict
@@ -80,6 +84,11 @@ class Scene:
     @property
     def n_lights(self) -> int:
         return self.lights.count
+
+    @property
+    def env(self) -> Optional[EnvMap]:
+        """Back-compat single-map view (first infinite light's map)."""
+        return self.envs[0] if self.envs else None
 
 
 # --------------------------------------------------------------------------
@@ -425,6 +434,7 @@ def compile_segments(segments: List[BlockSegment], overrides: dict) -> Scene:
                 ps.get_int("yresolution", 480),
             )
             settings.filename = ps.get_string("filename", "curry-pbrt.png")
+            settings.filter = ps.get_string("filter", "box")
         elif ot == "Integrator":
             settings.integrator = ps.get_name()
             settings.max_depth = ps.get_int("maxdepth", 5)
@@ -436,6 +446,12 @@ def compile_segments(segments: List[BlockSegment], overrides: dict) -> Scene:
         settings.resolution = tuple(overrides["resolution"])
     if "integrator" in overrides:
         settings.integrator = overrides["integrator"]
+    if "filter" in overrides:
+        settings.filter = overrides["filter"]
+    if settings.filter not in ("box", "triangle"):
+        raise ValueError(
+            f"unsupported film filter {settings.filter!r} (box|triangle)"
+        )
 
     camera_to_world = None if cam_transform is None else tf.inverse(cam_transform)
     camera = make_perspective_camera(
@@ -453,8 +469,7 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
     tri_rows, sph_rows = [], []
     prim_mat, prim_light = [], []
     light_rows = []  # dicts
-    env_img = None
-    env_tint = None
+    env_imgs = []  # one image per infinite light, indexed by row env_id
 
     def new_prim(mat_id: int, light_id: int) -> int:
         prim_mat.append(mat_id)
@@ -483,11 +498,13 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
     for w, L in comp.distant_lights:
         light_rows.append(dict(type=TYPE_DISTANT, vec=w, L=L))
     for img, tint in comp.infinite_lights:
+        # the reference supports any number of infinite lights, each with
+        # its own map + importance table (light/mod.rs:43-64,
+        # infinite_area.rs:9-73); each gets its own env_id row here
         if img is None:
             img = np.ones((1, 1, 3), np.float32)
-        env_img = img
-        env_tint = tint
-        light_rows.append(dict(type=TYPE_INFINITE, L=tint))
+        light_rows.append(dict(type=TYPE_INFINITE, L=tint, env_id=len(env_imgs)))
+        env_imgs.append(img)
 
     # --- device arrays
     T = max(len(tri_rows), 1)
@@ -528,11 +545,14 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
         sph_w2o=np.tile(np.eye(4, dtype=np.float32), (L, 1, 1)),
         sph_radius=np.zeros((L,), np.float32),
         area=np.ones((L,), np.float32),
+        env_id=np.full((L,), -1, np.int32),
     )
     light_L = np.zeros((L, 3), np.float32)
     for i, row in enumerate(light_rows):
         lt["type_id"][i] = row["type"]
         light_L[i] = row["L"]
+        if "env_id" in row:
+            lt["env_id"][i] = row["env_id"]
         t = row["type"]
         if t in (TYPE_POINT, TYPE_DISTANT):
             lt["is_delta"][i] = True
@@ -552,9 +572,10 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
             lt["area"][i] = 4.0 * np.pi * row["radius"] ** 2
     lights = LightArrays(**lt)  # host numpy; becomes a jit constant
 
-    env = None
-    if env_img is not None:
-        env = EnvMap(image=env_img.astype(np.float32), dist=build_env_distribution(env_img))
+    envs = [
+        EnvMap(image=img.astype(np.float32), dist=build_env_distribution(img))
+        for img in env_imgs
+    ]
 
     # --- params pytree
     params = {
@@ -571,7 +592,7 @@ def _assemble(comp: _Compiler, camera: Camera, settings: RenderSettings) -> Scen
         materials=comp.materials,
         material_registry=comp.registry,
         lights=lights,
-        env=env,
+        envs=envs,
         camera=camera,
         settings=settings,
         init_params=params,

@@ -149,3 +149,30 @@ def _apply(opt, params, state, grads):
 
     updates, state = opt.update(grads, state, params)
     return optax.apply_updates(params, updates), state
+
+
+class TestGradientBackendEquivalence:
+    def test_grad_matches_across_intersectors(self, setup):
+        """Parameter gradients must be identical through every intersector
+        backend: the TPU production path (pallas, here in interpret mode)
+        detaches ray geometry inside the kernel wrapper
+        (ops/pallas/aggregate.py:_detached), and a misplaced stop_gradient
+        there would ship silently — brute is the oracle (VERDICT r4 item 3).
+        """
+        scene, _plan, po, px = setup
+
+        grads = {}
+        for backend in ("brute", "pallas", "bvh"):
+            plan_b = plan_render(scene, intersector=backend, chunk_pixels=64)
+            g = jax.jit(jax.grad(loss_of(plan_b, po, px)))(scene.init_params)
+            mat_key = next(iter(g["materials"]))
+            grads[backend] = (
+                np.asarray(g["materials"][mat_key]["Kd"]),
+                np.asarray(g["light_L"]),
+            )
+        for backend in ("pallas", "bvh"):
+            for a, b in zip(grads["brute"], grads[backend]):
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7), backend
+        # and they are real gradients, not zeros
+        assert np.abs(grads["brute"][0]).sum() > 0
+        assert np.abs(grads["brute"][1]).sum() > 0

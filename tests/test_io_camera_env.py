@@ -227,3 +227,113 @@ WorldEnd
         a = render_scene(env_scene, show_progress=False)
         b = render_scene(env_scene, show_progress=False)
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# multiple infinite-area lights (the reference parses any number,
+# light/mod.rs:43-64; each keeps its own map + importance table)
+
+
+class TestMultipleEnvLights:
+    def _scene(self, tmp_path, maps, tints, res=16, spp=4, extra=""):
+        d = tmp_path
+        lines = []
+        for i, (img, tint) in enumerate(zip(maps, tints)):
+            name = f"env{i}.png"
+            write_png(d / name, img)
+            lines.append(
+                f'LightSource "infinite" "string mapname" ["{name}"] '
+                f'"rgb L" [{tint[0]} {tint[1]} {tint[2]}]'
+            )
+        text = f"""
+Film "image" "integer xresolution" [{res}] "integer yresolution" [{res}]
+Sampler "halton" "integer pixelsamples" [{spp}]
+Camera "perspective" "float fov" [60]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+{chr(10).join(lines)}
+{extra}
+WorldEnd
+"""
+        return compile_scene_string(text, base_dir=d, overrides={"clip": False})
+
+    def test_two_envs_compile_with_own_maps(self, tmp_path):
+        red = np.zeros((8, 16, 3), np.uint8); red[..., 0] = 200
+        grn = np.zeros((8, 16, 3), np.uint8); grn[..., 1] = 200
+        sc = self._scene(tmp_path, [red, grn], [(1, 1, 1)] * 2)
+        assert len(sc.envs) == 2
+        assert sc.n_lights == 2
+        assert list(sc.lights.env_id) == [0, 1]
+        # each env keeps its own image (red map first, green second)
+        assert sc.envs[0].image[0, 0, 0] > sc.envs[0].image[0, 0, 1]
+        assert sc.envs[1].image[0, 0, 1] > sc.envs[1].image[0, 0, 0]
+
+    def test_escaped_radiance_is_sum_of_both_maps(self, tmp_path):
+        """No geometry: every camera ray escapes; radiance must be the SUM
+        of each infinite light's own map (le_out_scene over all lights,
+        path.rs:24-28). Before multi-env support the second map silently
+        replaced the first."""
+        rng = np.random.default_rng(7)
+        a = rng.integers(10, 250, (8, 16, 3)).astype(np.uint8)
+        b = rng.integers(10, 250, (8, 16, 3)).astype(np.uint8)
+        both = render_scene(
+            self._scene(tmp_path, [a, b], [(1, 0.5, 0.25), (0.3, 1, 0.7)]),
+            show_progress=False,
+        )
+        only_a = render_scene(
+            self._scene(tmp_path, [a], [(1, 0.5, 0.25)]), show_progress=False
+        )
+        only_b = render_scene(
+            self._scene(tmp_path, [b], [(0.3, 1, 0.7)]), show_progress=False
+        )
+        assert both.mean() > 0.05
+        np.testing.assert_allclose(both, only_a + only_b, rtol=1e-5, atol=1e-6)
+
+    def test_nee_samples_each_lights_own_map(self, tmp_path):
+        """sample_li lanes must draw from the CHOSEN light's map: map A is
+        red-only, map B green-only — light 0's li must have no green and
+        light 1's no red."""
+        from curry_pbrt_tpu.models import lights as LT
+
+        red = np.zeros((8, 16, 3), np.uint8); red[..., 0] = 200
+        grn = np.zeros((8, 16, 3), np.uint8); grn[..., 1] = 200
+        sc = self._scene(tmp_path, [red, grn], [(1, 1, 1)] * 2)
+        N = 64
+        rng = np.random.default_rng(3)
+        p = jnp.zeros((N, 3)); n = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (N, 1))
+        perr = jnp.zeros((N, 3))
+        u2 = jnp.asarray(rng.random((N, 2)), jnp.float32)
+        for idx, (hot, cold) in ((0, (0, 1)), (1, (1, 0))):
+            ls = LT.sample_li(
+                sc.lights, sc.envs, sc.init_params["light_L"],
+                jnp.full((N,), idx, jnp.int32), p, n, perr, u2,
+            )
+            li = np.asarray(ls.li)
+            assert li[:, hot].max() > 0.1
+            assert li[:, cold].max() < 1e-6
+            assert np.asarray(ls.pdf).min() > 0
+
+    def test_two_constant_envs_match_one_combined(self, tmp_path):
+        """Diffuse floor under two CONSTANT env lights of tints a and b ==
+        one env of tint a+b (identical sampling distributions, so the
+        two-light NEE estimator has the same expectation; means agree to
+        Monte-Carlo tolerance)."""
+        const = np.full((4, 8, 3), 255, np.uint8)
+        floor = (
+            'Material "matte" "rgb Kd" [0.6 0.6 0.6]\n'
+            'Shape "trianglemesh" "integer indices" [0 1 2 2 3 0] '
+            '"point P" [-9 -1 -3   9 -1 -3   9 -1 12   -9 -1 12]'
+        )
+        two = render_scene(
+            self._scene(tmp_path, [const, const],
+                        [(0.4, 0.3, 0.2), (0.2, 0.5, 0.6)],
+                        spp=64, extra=floor),
+            show_progress=False,
+        )
+        one = render_scene(
+            self._scene(tmp_path, [const], [(0.6, 0.8, 0.8)],
+                        spp=64, extra=floor),
+            show_progress=False,
+        )
+        np.testing.assert_allclose(two.mean(axis=(0, 1)), one.mean(axis=(0, 1)),
+                                   rtol=0.05)

@@ -26,7 +26,7 @@ CORNELL = Path(__file__).resolve().parents[1] / "scenes" / "cornell.pbrt"
 RES, SPP, DEPTH = 256, 8, 3
 
 
-def _timed_render(n_devices, scene, passes=4):
+def _timed_render(n_devices, scene, passes=6):
     xres, yres = scene.settings.resolution
     n_pixels = xres * yres
     pad = (-n_pixels) % n_devices
@@ -63,14 +63,23 @@ def test_sharding_efficiency_proxy_above_065():
     # differ (16384 vs 2048 rows), which changes XLA's FMA fusion choices
     np.testing.assert_allclose(img_1, img_8, atol=1e-7)
     efficiency = wall_1 / wall_8
-    # The proxy is sensitive to absolute speed: shard_map's per-call
-    # overhead is fixed, so every renderer speedup shrinks the ratio without
-    # any real scaling regression (0.87 when this test was written, ~0.74
-    # after the round-3 optimizations). 0.65 guards against structural
-    # regressions (e.g. accidental cross-device collectives in the forward
-    # path); the real >=0.80 config-5 target is measured on chips with
-    # tools/scaling_bench.py.
+    overhead = wall_8 - wall_1
+    # Two complementary bounds (VERDICT r4 item 7):
+    #   ratio >= 0.65 — structural-regression tripwire (e.g. an accidental
+    #     cross-device collective in the forward path). The ratio is
+    #     sensitive to absolute speed: shard_map's per-call overhead is
+    #     fixed, so every renderer speedup shrinks it with no real scaling
+    #     regression (0.87 when first written, ~0.74 after round 3).
+    #   absolute overhead <= 2.0 s — the quantity the ratio proxies: extra
+    #     wall added by 8-way sharding of the SAME total workload. It does
+    #     NOT loosen as the renderer gets faster (measured ~0.9-1.4 s on an
+    #     otherwise-idle 2-core host). The real >=0.80 config-5 target is
+    #     measured on chips with tools/scaling_bench.py.
     assert efficiency >= 0.65, (
         f"8-way sharding overhead too high: wall_1={wall_1:.3f}s "
         f"wall_8={wall_8:.3f}s (efficiency proxy {efficiency:.2f} < 0.65)"
+    )
+    assert overhead <= 2.0, (
+        f"8-way sharding ABSOLUTE overhead too high: wall_1={wall_1:.3f}s "
+        f"wall_8={wall_8:.3f}s (+{overhead:.2f}s > 2.0s budget)"
     )

@@ -55,7 +55,7 @@ scene = compile_scene_file(
 )
 plan = plan_render(scene)
 ctx, params = plan.ctx, scene.init_params
-print(f"n_lights={ctx.n_lights} env={ctx.env is not None}")
+print(f"n_lights={ctx.n_lights} envs={len(ctx.envs)}")
 
 key = jax.random.PRNGKey(0)
 o = jax.random.uniform(key, (N, 3), Float) * 500.0
@@ -82,7 +82,7 @@ def dep(u, x):
 def piece_pick(u):
     lf = u * Float(ctx.n_lights)
     li = jnp.minimum(lf.astype(jnp.int32), ctx.n_lights - 1)
-    ls = LT.sample_li(ctx.lights, ctx.env, light_L, li, p, n, perr,
+    ls = LT.sample_li(ctx.lights, ctx.envs, light_L, li, p, n, perr,
                       jnp.stack([u, 1.0 - u], axis=-1))
     return dep(u, ls.pdf)
 
@@ -90,7 +90,7 @@ per_rep("sample_li", piece_pick, u1)
 
 lf = u1 * Float(ctx.n_lights)
 light_idx = jnp.minimum(lf.astype(jnp.int32), ctx.n_lights - 1)
-ls = LT.sample_li(ctx.lights, ctx.env, light_L, light_idx, p, n, perr,
+ls = LT.sample_li(ctx.lights, ctx.envs, light_L, light_idx, p, n, perr,
                   jnp.stack([u1, 1.0 - u1], axis=-1))
 ls = jax.block_until_ready(ls)
 chosen_delta = m.take_small(jnp.asarray(ctx.lights.is_delta), light_idx)

@@ -141,7 +141,7 @@ def main():
         lf = u * Float(ctx.n_lights)
         li = jnp.minimum(lf.astype(jnp.int32), ctx.n_lights - 1)
         ls = LT.sample_li(
-            ctx.lights, ctx.env, params["light_L"], li, hit.p, hit.n,
+            ctx.lights, ctx.envs, params["light_L"], li, hit.p, hit.n,
             hit.p_error, jnp.stack([u, 1.0 - u], axis=-1),
         )
         return jnp.clip(u + 1e-7 * ls.pdf, 0.0, 1.0)
