@@ -72,12 +72,13 @@ SECONDARY = {
     "mesh100k_512": (
         dict(scene="mesh100k.pbrt", res=512, spp=16, depth=8,
              intersector="pallas"),
-        2, None,
+        2, "mesh100k_256r",  # CPU pass at 256²/4spp — same scene/depth,
+        # same seg/s unit; full 512²/16spp would be ~75 min on this host
     ),
     "mesh600k_256": (
         dict(scene="mesh600k.pbrt", res=256, spp=4, depth=5,
              intersector="pallas"),
-        2, None,
+        2, "mesh600k_128r",  # CPU pass at 128²/2spp (same scene/depth/unit)
     ),
     # LAST: ~12 minutes (warm group + two full passes) — if an external
     # timeout cuts the bench short, the cheap configs are already recorded
@@ -104,11 +105,25 @@ EXPECTED_TPU_CHECKSUMS = {
 }
 CHECKSUM_ATOL = 0.05  # the stored values are rounded to 0.1
 
-# configs captured on the CPU backend for vs_baseline ratios
+# configs captured on the CPU backend for vs_baseline ratios. The two *r
+# entries are reduced-scale protocols for the big-mesh scenes (VERDICT r4
+# item 4): identical scene/depth/intersector kwargs, reduced res/spp so a
+# CPU pass is minutes, compared through the resolution-independent seg/s
+# rate (the protocol mesh10k_1024_full already uses).
 CPU_BASELINE_CONFIGS = {
     "headline": (HEADLINE, PASSES),
     "spheres_direct_256": (SECONDARY["spheres_direct_256"][0], PASSES),
     "mesh10k_512": (SECONDARY["mesh10k_512"][0], 1),  # ~2 min/pass on CPU
+    "mesh100k_256r": (
+        dict(scene="mesh100k.pbrt", res=256, spp=4, depth=8,
+             intersector="pallas"),
+        1,  # ~5 min/pass at 2.5k seg/s on this host
+    ),
+    "mesh600k_128r": (
+        dict(scene="mesh600k.pbrt", res=128, spp=2, depth=5,
+             intersector="pallas"),
+        1,
+    ),
 }
 
 
@@ -229,13 +244,22 @@ def _run_config_isolated(kwargs, passes, retries=1):
     return {"error": last}
 
 
-def capture_cpu_baseline():
+def capture_cpu_baseline(only_missing=True):
     """Run the baseline configs on the CPU backend in subprocesses and cache
-    rates with provenance (same renderer, same per-config protocol)."""
+    rates with provenance (same renderer, same per-config protocol).
+
+    By default configs already present in the cache are kept as-is (the
+    mesh10k pass alone is ~12 min); --recapture-cpu-baseline redoes all."""
     import platform
 
     entries = {}
+    cached = cpu_baseline() or {}
     for name, (kw, passes) in CPU_BASELINE_CONFIGS.items():
+        if only_missing and name in cached.get("configs", {}):
+            entries[name] = cached["configs"][name]
+            print(f"{name}: cached ({entries[name].get('rays_per_sec', 0):.0f} rays/s)",
+                  file=sys.stderr)
+            continue
         code = (
             "import os, json, sys;"
             f"sys.path.insert(0, {str(REPO)!r});"
@@ -253,7 +277,9 @@ def capture_cpu_baseline():
             sys.stderr.write(res.stdout + res.stderr)
             raise SystemExit(f"CPU baseline run failed for {name}")
         data = json.loads(line[0][len("CPU_RESULT "):])
-        entries[name] = {"rays_per_sec": data.get("rays_per_sec"), "detail": data}
+        entries[name] = {"rays_per_sec": data.get("rays_per_sec"), "detail": data,
+                         "config": kw, "passes": passes,
+                         "captured_unix": int(time.time())}
         print(f"{name}: {data.get('rays_per_sec', 0):.0f} rays/s (CPU)",
               file=sys.stderr)
 
@@ -284,14 +310,16 @@ def cpu_baseline():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--capture-cpu-baseline", action="store_true")
+    ap.add_argument("--recapture-cpu-baseline", action="store_true",
+                    help="redo every baseline config, ignoring the cache")
     ap.add_argument("--skip-secondary", action="store_true",
                     help="headline config only")
     ap.add_argument("--skip-full", action="store_true",
                     help="skip the minutes-long mesh10k_1024_full config")
     args = ap.parse_args()
 
-    if args.capture_cpu_baseline:
-        capture_cpu_baseline()
+    if args.capture_cpu_baseline or args.recapture_cpu_baseline:
+        capture_cpu_baseline(only_missing=not args.recapture_cpu_baseline)
         return
 
     head = run_config(**HEADLINE)
