@@ -60,6 +60,8 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
         extra["clusters_per_slab"] = int(os.environ["CURRY_SLAB_CLUSTERS"])
     if os.environ.get("CURRY_USE_SUPERS"):  # sweep knob: "0" / "1"
         extra["use_supers"] = os.environ["CURRY_USE_SUPERS"] == "1"
+    if os.environ.get("CURRY_CLUSTER_MODE"):  # sweep knob: kdmedian/morton
+        extra["cluster_mode"] = os.environ["CURRY_CLUSTER_MODE"]
     tables = build_tri_tables(
         tris.p0, tris.p1, tris.p2, tris.prim,
         block_t=block_t, view_origin=view_origin, **extra,

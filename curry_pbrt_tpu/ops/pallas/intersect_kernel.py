@@ -175,6 +175,38 @@ def union_boxes(boxes: np.ndarray) -> np.ndarray:
     return out
 
 
+def kdmedian_order(p0, p1, p2, block_t: int) -> np.ndarray:
+    """Host-side blocked kd-median permutation: recursively split the
+    triangle set on the widest centroid axis at the nearest multiple of
+    block_t to the median, so every contiguous block_t run is one kd cell.
+
+    Cells are compact axis-aligned regions — markedly tighter cluster AABBs
+    than same-size Morton runs (a Z-curve block can straddle curve jumps),
+    measured ~25-40% fewer entered tiles on the mesh scenes
+    (tools/probe_granularity.py --cluster-mode). Exact block_t fills keep
+    the tile math fully utilized (an SAH-treelet cut would leave padding
+    rows). Deterministic (stable sorts)."""
+    c = ((np.asarray(p0, np.float64) + np.asarray(p1) + np.asarray(p2)) / 3.0)
+    n = c.shape[0]
+    order = np.arange(n)
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        count = hi - lo
+        if count <= block_t:
+            continue
+        idx = order[lo:hi]
+        ext = c[idx].max(axis=0) - c[idx].min(axis=0)
+        axis = int(np.argmax(ext))
+        order[lo:hi] = idx[np.argsort(c[idx, axis], kind="stable")]
+        half = count // 2
+        k = int(np.clip(round(half / block_t) * block_t, block_t,
+                        ((count - 1) // block_t) * block_t))
+        stack.append((lo, lo + k))
+        stack.append((lo + k, hi))
+    return order.astype(np.int32)
+
+
 def morton_order(p0, p1, p2) -> np.ndarray:
     """Host-side Morton (Z-curve) permutation of triangle centroids so
     contiguous BLOCK_T blocks are spatially tight clusters."""
@@ -233,17 +265,24 @@ def build_tri_tables(
     view_origin=None,
     clusters_per_slab: int = SLAB_CLUSTERS,
     use_supers=None,
+    cluster_mode: str = "kdmedian",
 ) -> TriTables:
-    """Morton-sort triangles, group block_t rows into clusters and SUPER_G
-    clusters into supers, order supers (and clusters within supers)
-    front-to-back from view_origin, pad to whole slabs, and precompute every
-    AABB level + the packed (T,16) table. Deterministic."""
+    """Spatially sort triangles (cluster_mode: "kdmedian" blocked kd cells,
+    the default — or "morton" Z-curve runs), group block_t rows into
+    clusters and SUPER_G clusters into supers, order supers (and clusters
+    within supers) front-to-back from view_origin, pad to whole slabs, and
+    precompute every AABB level + the packed (T,16) table. Deterministic."""
     p0 = np.asarray(p0, np.float32)
     p1 = np.asarray(p1, np.float32)
     p2 = np.asarray(p2, np.float32)
     prim = np.asarray(prim, np.int32)
 
-    order = morton_order(p0, p1, p2)
+    if cluster_mode == "kdmedian":
+        order = kdmedian_order(p0, p1, p2, block_t)
+    elif cluster_mode == "morton":
+        order = morton_order(p0, p1, p2)
+    else:
+        raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
     p0, p1, p2, prim = p0[order], p1[order], p2[order], prim[order]
 
     t = p0.shape[0]

@@ -72,6 +72,46 @@ def test_morton_order_is_permutation():
     assert sorted(order.tolist()) == list(range(500))
 
 
+def test_kdmedian_order_properties():
+    """kdmedian_order: a deterministic permutation whose contiguous block_t
+    runs are kd cells, and whose cluster AABBs are (in aggregate) tighter
+    than Morton runs on a structured mesh (the reason it is the default)."""
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import (
+        block_aabbs,
+        kdmedian_order,
+    )
+
+    for n in (500, 512, 65):  # non-multiple, exact, barely-splittable
+        _o, _d, _t, p0, p1, p2 = _random_scene(11, n_tris=n, spread=5.0)
+        order = kdmedian_order(p0, p1, p2, 64)
+        assert sorted(order.tolist()) == list(range(n))
+        order2 = kdmedian_order(p0, p1, p2, 64)
+        np.testing.assert_array_equal(order, order2)
+
+    # structured grid: kd cells must beat Z-curve runs on total cluster
+    # surface area (the culling-quality proxy)
+    gx, gy = np.meshgrid(np.arange(40, dtype=np.float32),
+                         np.arange(40, dtype=np.float32))
+    base = np.stack([gx.ravel(), gy.ravel(), (gx * 0.1 + gy * 0.07).ravel()], -1)
+    p0 = jnp.asarray(base)
+    p1 = jnp.asarray(base + [0.8, 0.1, 0.0])
+    p2 = jnp.asarray(base + [0.1, 0.8, 0.05])
+    valid = jnp.ones((base.shape[0],), bool)
+
+    def total_sa(order):
+        q0, q1, q2 = (np.asarray(p)[order] for p in (p0, p1, p2))
+        boxes = block_aabbs(q0, q1, q2, np.asarray(valid)[order], 64)
+        ext = np.maximum(boxes[:, 3:6] - boxes[:, 0:3], 0)
+        return float(np.nansum(
+            2 * (ext[:, 0] * ext[:, 1] + ext[:, 0] * ext[:, 2]
+                 + ext[:, 1] * ext[:, 2])
+        ))
+
+    sa_kd = total_sa(kdmedian_order(p0, p1, p2, 64))
+    sa_mo = total_sa(morton_order(p0, p1, p2))
+    assert sa_kd <= sa_mo
+
+
 def test_any_hit_matches_brute():
     o, d, t_max, p0, p1, p2 = _random_scene(7, n_rays=96, n_tris=21)
     tris = isect.TriangleArrays(p0, p1, p2, jnp.arange(p0.shape[0], dtype=jnp.int32))

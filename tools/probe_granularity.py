@@ -180,7 +180,8 @@ def analyze(scene_name, depth, chunk_rays, seed=0):
         d = jnp.where(hit[:, None], nd, d)
         active = active & hit
 
-    print("\ntotals over all bounces (relative to order=pixel G=256):")
+    print(f"\ntotals over all bounces (relative to order=pixel G=256 "
+          f"= {totals[('pixel', 256)]:.4g} flops):")
     base = totals[("pixel", 256)] or 1.0
     for oname in ("pixel", "oct_cell", "first_c"):
         print(f"{oname:>8} | " + " ".join(
