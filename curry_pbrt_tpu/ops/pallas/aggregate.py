@@ -40,12 +40,18 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
     # small scenes get 8-tri clusters so their handful of surfaces cull
     # each other (a Cornell box inside one 64-tri cluster = zero culling)
     # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
-    # fewer per-block overheads win); big scenes keep 64-tri clusters
-    # and 1024-ray blocks (tighter blocks -> higher cluster-skip rates —
-    # 2048 measured ~2x slower on the 10k mesh)
+    # fewer per-block overheads win); big scenes keep 64-tri clusters.
+    # Big-scene block_r history: r3 measured 2048 ~2x slower than 1024 on
+    # the 10k mesh (pre dead-lane gate, pre kd clustering, no sub-groups).
+    # With kd cells + the gate + 256-lane sub-group predication the r5
+    # sweep reverses it: culling happens at sub-group granularity, so
+    # block_r only amortizes the per-block cluster sweep — wider wins, and
+    # the bigger the cluster table the wider the optimum (mesh10k: 2048
+    # best at 3.64 s, 4096 3.79 s; mesh100k: 4096 best at 9.08 s, 8192
+    # 9.28 s; mesh600k: 4096 best at 1.34 s, 2048 1.61 s).
     small = tris.count <= 512
     block_t = 8 if small else 64
-    block_r = 2048 if small else 1024
+    block_r = 4096 if tris.count > 512 * 64 else 2048
     if os.environ.get("CURRY_BLOCK_T"):  # sweep knob (PERF.md)
         block_t = int(os.environ["CURRY_BLOCK_T"])
     if os.environ.get("CURRY_BLOCK_R"):  # sweep knob (PERF.md)
