@@ -308,13 +308,20 @@ def path_trace(
     light_L = params["light_L"]
     mat_all_delta = jnp.asarray(ctx.mat_is_all_delta)
 
-    # precompute every bounce's sampler values: (max_depth, 8, N)
+    # precompute every bounce's sampler values: (max_depth, 8, N). The RR
+    # dim is only consumed past bounce 3 (rr_on = bounce > 3 below); for
+    # earlier bounces a zero plane is fed instead of evaluating the
+    # radical inverse — bit-identical output (kill is False either way),
+    # ~10% less sampler arithmetic at depth 5.
     if max_depth > 0:
         u_all = jnp.stack(
             [
                 jnp.stack(
                     [
-                        halton_sample(indices, _bounce_dims(dim_base, b) + k, cfg, perms)
+                        jnp.zeros_like(indices, Float)
+                        if (k == D_RR and b <= 3)
+                        else halton_sample(
+                            indices, _bounce_dims(dim_base, b) + k, cfg, perms)
                         for k in range(DIMS_PER_BOUNCE)
                     ]
                 )

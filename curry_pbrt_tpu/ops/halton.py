@@ -99,6 +99,16 @@ class HaltonConfig(NamedTuple):
     def scale_prod(self) -> int:
         return self.scale_x * self.scale_y
 
+    @property
+    def max_index(self) -> int:
+        """Exclusive upper bound on any Halton index this render produces:
+        index = pixel_offset + sample_idx·scale_prod with pixel_offset <
+        scale_prod and sample_idx < spp (halton_indices). Digit loops only
+        need enough digits to cover this bound — every higher digit is
+        provably zero, so truncating them is bit-exact (not an
+        approximation)."""
+        return self.scale_prod * max(self.spp, 1)
+
 
 def make_halton_config(resolution, spp: int, seed: int = 0) -> HaltonConfig:
     xres, yres = int(resolution[0]), int(resolution[1])
@@ -152,18 +162,33 @@ def halton_indices(pixel_offsets, sample_idx, cfg: HaltonConfig):
     return pixel_offsets + sample_idx.astype(jnp.uint32) * jnp.uint32(cfg.scale_prod)
 
 
-def radical_inverse(x, base: int):
+def _digits_for(base: int, max_index) -> int:
+    """Digit-loop trip count: enough base-`base` digits to cover every
+    index < max_index (None → the full uint32 range). Truncating beyond
+    this is EXACT — those digits are zero for every producible index."""
+    full = _max_digits(base)
+    if not max_index or max_index <= 0:
+        return full
+    k, cap = 0, 1
+    while cap < max_index and k < full:
+        cap *= base
+        k += 1
+    return k if cap >= max_index else full
+
+
+def radical_inverse(x, base: int, max_index=None):
     """Plain radical inverse of uint32 x in `base`.
 
     The reference accumulates the digit-reversed integer then divides by
     b^digit_count (halton.rs:36-69); that integer overflows 32 bits for
     bases ≥ 3, so we accumulate the mathematically-identical per-digit sum
-    Σ_j digit_j · b^-(j+1) in f32 instead (LSB digit first).
+    Σ_j digit_j · b^-(j+1) in f32 instead (LSB digit first). max_index
+    bounds the digit loop (bit-exact, see _digits_for).
     """
     b = jnp.uint32(base)
     r = jnp.zeros(x.shape, dtype=Float)
     w = Float(1.0 / base)
-    for _ in range(_max_digits(base)):
+    for _ in range(_digits_for(base, max_index)):
         nz = x != 0
         digit = x % b
         x = x // b
@@ -172,7 +197,7 @@ def radical_inverse(x, base: int):
     return r
 
 
-def scrambled_radical_inverse(x, dim: int, perms):
+def scrambled_radical_inverse(x, dim: int, perms, max_index=None):
     """Scrambled radical inverse with per-base affine digit permutation.
 
     Matches the reference's scrambled accumulation (halton.rs:25-63) including
@@ -189,7 +214,7 @@ def scrambled_radical_inverse(x, dim: int, perms):
     r = jnp.zeros(x.shape, dtype=Float)
     w = Float(1.0 / base)
     digit_count = jnp.zeros(x.shape, dtype=jnp.int32)
-    for _ in range(_max_digits(base)):
+    for _ in range(_digits_for(base, max_index)):
         nz = x != 0
         digit = x % b
         x = x // b
@@ -218,12 +243,15 @@ def halton_sample(indices, dim: int, cfg: HaltonConfig, perms):
     """Sample value for static `dim` at each Halton index. indices: (...,)
     uint32 → f32 in [0, 1). Matches HaltonSampler::get_sample + get_1d clamp
     (sampler/mod.rs:10-17)."""
+    mi = cfg.max_index
     if dim == 0:
-        r = radical_inverse(indices // jnp.uint32(cfg.scale_x), 2)
+        r = radical_inverse(indices // jnp.uint32(cfg.scale_x), 2,
+                            max_index=-(-mi // cfg.scale_x))
     elif dim == 1:
-        r = radical_inverse(indices // jnp.uint32(cfg.scale_y), 3)
+        r = radical_inverse(indices // jnp.uint32(cfg.scale_y), 3,
+                            max_index=-(-mi // cfg.scale_y))
     elif dim < MAX_DIMS:
-        r = scrambled_radical_inverse(indices, dim, perms)
+        r = scrambled_radical_inverse(indices, dim, perms, max_index=mi)
     else:
         salt = (0x9E3779B9 * (dim + 1) + cfg.seed) & 0xFFFFFFFF
         r = _hash_u32(indices, salt).astype(Float) * Float(2.0**-32)

@@ -11,12 +11,16 @@ PERF.md. HBM traffic is O(N + T·n_ray_blocks) (the jnp dense path's O(N·T)
 intermediates get padded minor-dim 3 → 128 lanes by XLA — a 42× memory
 blowup).
 
-Spheres run through the jnp dense test (sphere counts are tiny in every
-reference scene), and hit attributes are reconstructed only for each ray's
-winning primitive.
+Spheres run through the jnp dense test below ~2 clusters' worth (reference
+scenes have ≤3) and through their own cluster-culled kernel
+(sphere_kernel.py, same hierarchy/machinery as the triangle kernel) beyond
+that. Hit attributes are reconstructed only for each ray's winning
+primitive.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
@@ -35,8 +39,6 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
     """Scene-adaptive kernel parameters + host tables — the single source
     of truth shared by the aggregate and the roofline/profiling tools.
     Returns (tables, block_t, block_r, small)."""
-    import os
-
     # small scenes get 8-tri clusters so their handful of surfaces cull
     # each other (a Cornell box inside one 64-tri cluster = zero culling)
     # and wide 2048-ray blocks (their big surfaces can't cull anyway, so
@@ -92,19 +94,61 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     have_tris = bool((np.asarray(tris.prim) >= 0).any())
     have_sph = bool((np.asarray(sph.prim) >= 0).any())
     n_sph = int((np.asarray(sph.prim) >= 0).sum())
-    if n_sph > 256:
-        # spheres take the dense jnp path (O(N·S)); every reference scene
-        # has ≤3. A sphere-cluster kernel is the fix if this ever matters.
-        from curry_pbrt_tpu.utils.logging import get_logger
-
-        get_logger(__name__).warning(
-            "scene has %d spheres; the sphere intersect path is dense "
-            "O(rays x spheres) and will dominate beyond a few hundred — "
-            "consider meshing them", n_sph,
-        )
+    # beyond a few clusters' worth, spheres go through their own
+    # cluster-culled kernel (sphere_kernel.py) instead of the dense
+    # O(rays × spheres) jnp test — the reference scales by putting spheres
+    # in its BVH like any primitive (aggregate/bvh.rs:24-124)
+    sph_kernel_min = int(os.environ.get("CURRY_SPH_KERNEL_MIN", 129))
+    use_sph_kernel = n_sph >= sph_kernel_min
     # Mosaic only compiles on TPU; everywhere else (the 8-device CPU test
     # platform) the kernel runs in interpret mode — same math, same results.
     interp = jax.default_backend() != "tpu"
+
+    if have_sph and use_sph_kernel:
+        from curry_pbrt_tpu.ops.pallas.sphere_kernel import (
+            build_sphere_tables,
+            sphere_any_hit_tables,
+            sphere_closest_hit_tables,
+        )
+
+        stab = build_sphere_tables(
+            sph.w2o, sph.o2w, sph.radius, sph.prim, view_origin=view_origin
+        )
+        s_sph16 = jnp.asarray(stab.sph16)
+        s_caabb = jnp.asarray(stab.cluster_aabbs)
+        s_saabb = jnp.asarray(stab.super_aabbs)
+        s_slab = jnp.asarray(stab.slab_aabbs)
+        s_rows = jnp.asarray(stab.row_sphere)
+        s_block_r = 4096 if n_sph > 512 * 64 else 2048
+        s_kw = dict(
+            block_s=stab.block_s, clusters_per_slab=stab.clusters_per_slab,
+            use_supers=stab.use_supers, interpret=interp,
+            block_r=s_block_r,
+            subgroups=max(s_block_r // 256, 1) if n_sph >= 4096 else 1,
+        )
+
+    def _sph_closest(o, d, t_max):
+        """→ (t (N,), best original-sphere index (N,), hit (N,) bool) —
+        dense argmin semantics (lowest index wins exact-t ties on the
+        dense path; the kernel path's tie winner follows table order)."""
+        if use_sph_kernel:
+            t, row = sphere_closest_hit_tables(
+                o, d, t_max, s_sph16, s_caabb, s_saabb, s_slab, **s_kw
+            )
+            best = jnp.take(s_rows, jnp.clip(row, 0, s_rows.shape[0] - 1))
+            return t, jnp.maximum(best, 0), row >= 0
+        st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
+        best = jnp.argmin(st, axis=-1).astype(jnp.int32)
+        oh = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == best[:, None]
+        return jnp.min(st, axis=-1), best, jnp.any(sok & oh, axis=-1)
+
+    def _sph_any(o, d, t_max):
+        if use_sph_kernel:
+            return sphere_any_hit_tables(
+                o, d, t_max, s_sph16, s_caabb, s_saabb, s_slab, **s_kw
+            )
+        _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
+        return jnp.any(sok, axis=-1)
 
     # bound unconditionally so the tri closures below are safe no-ops on
     # sphere-only scenes (every current call site is guarded by have_tris,
@@ -112,8 +156,6 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
     use_sort = False
 
     if have_tris:
-        import os
-
         tables, block_t, block_r, small = plan_tri_kernel(tris, view_origin)
         tris = isect.TriangleArrays(
             jnp.asarray(tables.p0), jnp.asarray(tables.p1),
@@ -229,11 +271,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
         if have_tris:
             tri_t, tri_idx, tri_hit = _tri_closest(o, d, t_max)
         if have_sph:
-            st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
-            sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
-            oh_s = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
-            sph_t = jnp.min(st, axis=-1)
-            sph_hit = jnp.any(sok & oh_s, axis=-1)
+            sph_t, sph_best, sph_hit = _sph_closest(o, d, t_max)
 
         if have_tris and have_sph:
             use_tri = tri_hit & (~sph_hit | (tri_t <= sph_t))
@@ -284,8 +322,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
                     o, d, t_max, tris16, caabb, saabb, slab_aabb, **kern_kw
                 )
         if have_sph:
-            _st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
-            hit = hit | jnp.any(sok, axis=-1)
+            hit = hit | _sph_any(o, d, t_max)
         return hit
 
     def intersect_tprim(o, d, t_max):
@@ -299,11 +336,7 @@ def make_pallas_intersectors(tris: isect.TriangleArrays, sph: isect.SphereArrays
             t_out = jnp.where(tri_hit, tri_t, t_out)
             prim = jnp.where(tri_hit, jnp.take(tris.prim, safe_idx), prim)
         if have_sph:
-            st, sok = isect.sphere_intersect_t(o, d, t_max, sph)
-            sph_best = jnp.argmin(st, axis=-1).astype(jnp.int32)
-            oh = jnp.arange(st.shape[1], dtype=jnp.int32)[None, :] == sph_best[:, None]
-            sph_t = jnp.min(st, axis=-1)
-            sph_hit = jnp.any(sok & oh, axis=-1)
+            sph_t, sph_best, sph_hit = _sph_closest(o, d, t_max)
             use = sph_hit & (sph_t < t_out)
             t_out = jnp.where(use, sph_t, t_out)
             prim = jnp.where(use, jnp.take(sph.prim, sph_best), prim)

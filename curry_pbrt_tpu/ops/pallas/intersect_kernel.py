@@ -45,8 +45,8 @@ HBM traffic is O(N + T·n_ray_blocks) per pass (no (N,T) intermediates).
 Data layout (last dim = 128 lanes):
   rays:  (16, N) f32 — rows 0-2 origin, 3-5 shear sx/sy/sz, 6 t_max,
          7-9 one-hot permutation kx/ky/kz, 10-12 inv_d (slab test),
-         rest padding. Rays on the LANE axis: per-ray scalars broadcast as
-         (1, BLOCK_R) rows.
+         13-15 raw direction (sphere tile test). Rays on the LANE axis:
+         per-ray scalars broadcast as (1, BLOCK_R) rows.
   tris:  (T, 16) f32 — cols 0-8 p0/p1/p2, 9 valid flag. Triangles on the
          SUBLANE axis: per-tri scalars broadcast as (BLOCK_T, 1) columns.
   cluster/super/slab AABBs: (rows, 8) f32 in SMEM — bmin xyz, bmax xyz
@@ -114,6 +114,9 @@ def pack_rays(o, d, t_max, block_r: int = BLOCK_R) -> jnp.ndarray:
             t_max,
             kx.astype(Float), ky.astype(Float), kz.astype(Float),
             inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
+            # rows 13-15: raw direction (the sphere tile test needs d itself;
+            # 1/(1/d) does not round-trip bit-exactly)
+            d[:, 0], d[:, 1], d[:, 2],
         ],
         axis=0,
     )
@@ -466,12 +469,18 @@ def _tile_test(rays_ref, tris_ref, t_best, lane_ds=None):
 
 def _make_closest_kernel(block_t: int, clusters_per_slab: int,
                          use_supers: bool, stats: bool, n_slabs: int,
-                         subgroups: int):
-    """One ray block vs one streamed tri slab per grid step. The best
+                         subgroups: int, tile_test=None):
+    """One ray block vs one streamed primitive slab per grid step. The best
     (t, idx) output block persists across the slab sweep (inner grid axis).
     With stats=True an extra output counts entered clusters per ray block
     (roofline instrumentation). The slab-level AABB test only exists when
-    there are ≥2 slabs (with one slab it can never skip anything)."""
+    there are ≥2 slabs (with one slab it can never skip anything).
+
+    tile_test(rays_ref, tile, t_best, lane_ds) -> (t, ok) is the per-pair
+    primitive test — watertight triangles by default; the sphere cluster
+    kernel (sphere_kernel.py) passes its quadratic test instead."""
+    if tile_test is None:
+        tile_test = _tile_test
 
     def kernel(slab_aabb_ref, super_aabb_ref, caabb_ref, rays_ref, tris_ref,
                t_ref, idx_ref, *maybe_stats):
@@ -489,7 +498,7 @@ def _make_closest_kernel(block_t: int, clusters_per_slab: int,
             fold (t, idx) improvements into the output refs."""
             ls = slice(None) if lane_ds is None else lane_ds
             t_best = t_ref[0:1, ls]
-            t, _ok = _tile_test(rays_ref, tri_tile, t_best, lane_ds)
+            t, _ok = tile_test(rays_ref, tri_tile, t_best, lane_ds)
             t_min = jnp.min(t, axis=0, keepdims=True)
             row = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
             tri_idx = (j * clusters_per_slab + c) * block_t + row
@@ -574,7 +583,10 @@ def _make_closest_kernel(block_t: int, clusters_per_slab: int,
 
 
 def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
-                     n_slabs: int, subgroups: int):
+                     n_slabs: int, subgroups: int, tile_test=None):
+    if tile_test is None:
+        tile_test = _tile_test
+
     def kernel(slab_aabb_ref, super_aabb_ref, caabb_ref, rays_ref, tris_ref,
                hit_ref):
         j = pl.program_id(1)
@@ -587,7 +599,7 @@ def _make_any_kernel(block_t: int, clusters_per_slab: int, use_supers: bool,
 
         def _test_lanes(tri_tile, lane_ds):
             ls = slice(None) if lane_ds is None else lane_ds
-            _t, ok = _tile_test(rays_ref, tri_tile, rays_ref[6:7, ls], lane_ds)
+            _t, ok = tile_test(rays_ref, tri_tile, rays_ref[6:7, ls], lane_ds)
             any_hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
             hit_ref[0:1, ls] = jnp.maximum(hit_ref[0:1, ls], any_hit)
 

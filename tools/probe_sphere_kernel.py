@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Dense O(rays × spheres) jnp path vs the sphere cluster kernel
+(ops/pallas/sphere_kernel.py) at scale: builds an n-sphere field, times
+closest-hit and any-hit on 32k rays (Δreps), checks agreement.
+
+VERDICT r4 item 9's bar: a 10k-sphere scene matches brute and beats the
+dense path by ≥5×.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed(fn, reps_lo=2, reps_hi=8):
+    def run(reps):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        np.asarray(out[0] if isinstance(out, tuple) else out)[:1]
+        return time.time() - t0
+
+    run(1)
+    lo = min(run(reps_lo) for _ in range(3))
+    hi = min(run(reps_hi) for _ in range(3))
+    return max((hi - lo) / (reps_hi - reps_lo), 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-spheres", type=int, default=10000)
+    ap.add_argument("--n-rays", type=int, default=32768)
+    ap.add_argument("--no-dense", action="store_true",
+                    help="skip the dense timing (O(N*S) memory at scale)")
+    args = ap.parse_args()
+
+    from curry_pbrt_tpu.ops import intersect as isect
+    from curry_pbrt_tpu.ops.pallas.aggregate import make_pallas_intersectors
+    import os
+
+    rng = np.random.default_rng(0)
+    S = args.n_spheres
+    centers = rng.uniform(-40, 40, (S, 3)).astype(np.float32)
+    radii = rng.uniform(0.2, 0.8, S).astype(np.float32)
+    o2w = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+    o2w[:, :3, 3] = centers
+    w2o = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+    w2o[:, :3, 3] = -centers
+    sph = isect.SphereArrays(
+        jnp.asarray(o2w), jnp.asarray(w2o), jnp.asarray(radii),
+        jnp.asarray(np.arange(S, dtype=np.int32)),
+    )
+    z = jnp.zeros((1, 3), jnp.float32)
+    tris = isect.TriangleArrays(z, z, z, jnp.full((1,), -1, jnp.int32))
+
+    N = args.n_rays
+    o = rng.uniform(-45, 45, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_, d_ = jnp.asarray(o), jnp.asarray(d)
+    tm = jnp.full((N,), 1e30, jnp.float32)
+
+    os.environ["CURRY_SPH_KERNEL_MIN"] = "1"
+    ik, pk, tpk = make_pallas_intersectors(tris, sph, view_origin=np.zeros(3))
+    tk = np.asarray(tpk(o_, d_, tm)[0])
+    wk_c = _timed(lambda: tpk(o_, d_, tm))
+    wk_a = _timed(lambda: pk(o_, d_, tm))
+    hit_rate = float((tk < 1e30).mean())
+    print(f"kernel: closest {wk_c * 1e3:8.3f} ms  any {wk_a * 1e3:8.3f} ms  "
+          f"hit_rate {hit_rate:.3f}  ({S} spheres, {N} rays)")
+
+    if not args.no_dense:
+        os.environ["CURRY_SPH_KERNEL_MIN"] = str(S + 1)
+        idn, pd_, tpd = make_pallas_intersectors(tris, sph, view_origin=np.zeros(3))
+        td = np.asarray(tpd(o_, d_, tm)[0])
+        agree = np.isclose(td, tk, rtol=2e-4).mean()
+        wd_c = _timed(lambda: tpd(o_, d_, tm))
+        wd_a = _timed(lambda: pd_(o_, d_, tm))
+        print(f"dense:  closest {wd_c * 1e3:8.3f} ms  any {wd_a * 1e3:8.3f} ms  "
+              f"t agreement {agree:.4f}")
+        print(f"speedup: closest {wd_c / wk_c:.1f}x  any {wd_a / wk_a:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,9 @@ from curry_pbrt_tpu.ops.intersect import offset_point_by_error
 from curry_pbrt_tpu.dtypes import FLOAT_MAX, Float
 
 N = int(os.environ.get("PROFILE_N", 1 << 20))
-K1, K2 = 4, 12
+# small-N stages need many reps to clear the ~20 ms tunnel jitter
+K1 = int(os.environ.get("PROFILE_K1", 4))
+K2 = int(os.environ.get("PROFILE_K2", 12))
 
 
 def wall(fn, *args):
