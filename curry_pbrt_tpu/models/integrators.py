@@ -204,9 +204,6 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u,
     weight = jnp.where(
         chosen_delta, 1.0, m.power_heuristic(ls.pdf, f_pdf)
     )
-    ld_light = ls.li * f * (cos_term * weight / safe_li_pdf)[:, None]
-    ok = ls.present & (ls.pdf != 0) & f_pres & (f_pdf != 0) & ~occluded
-    ld_light = jnp.where(ok[:, None], ld_light, 0.0)
 
     # --- bsdf strategy (non-delta lights only, integrator/mod.rs:54-90)
     wi2_l, f2, f2_pdf, f2_pres = shade_sample_nondelta(
@@ -220,6 +217,10 @@ def uniform_sample_one_light(ctx, params, hit: Hit, mat_ids, wo, frame, u,
     if mask is not None:
         mis_tmax = jnp.where(mask, mis_tmax, 0.0)
     hit2_t, hit2_prim = ctx.intersect_tprim(o2, wi2, mis_tmax)
+
+    ld_light = ls.li * f * (cos_term * weight / safe_li_pdf)[:, None]
+    ok = ls.present & (ls.pdf != 0) & f_pres & (f_pdf != 0) & ~occluded
+    ld_light = jnp.where(ok[:, None], ld_light, 0.0)
     hit2_light = m.take_small(ctx.prim_light, jnp.maximum(hit2_prim, 0))
     hit2_light = jnp.where(hit2_prim >= 0, hit2_light, -1)
     same_light = (hit2_light >= 0) & (hit2_light == light_idx)

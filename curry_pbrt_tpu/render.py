@@ -10,6 +10,7 @@ a pixel are contiguous lanes). One XLA compilation serves every chunk.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial

@@ -159,6 +159,45 @@ def test_sphere_kernel_with_tris_mixed(monkeypatch):
     np.testing.assert_array_equal(np.asarray(hd.prim), np.asarray(hk.prim))
 
 
+def test_sphere_field_scene_end_to_end(tmp_path):
+    """A generated 200-sphere scene (above the CURRY_SPH_KERNEL_MIN=129
+    threshold) rendered through the full pipeline: the pallas intersector
+    (sphere cluster kernel engaged) must match the brute oracle."""
+    from curry_pbrt_tpu.render import render_scene
+    from curry_pbrt_tpu.sceneio.compiler import compile_scene_file
+
+    rng = np.random.default_rng(21)
+    lines = [
+        'LookAt 0 0 -30  0 0 0  0 1 0',
+        'Camera "perspective" "float fov" [45]',
+        'Sampler "halton" "integer pixelsamples" [1]',
+        'Film "image" "integer xresolution" [24] "integer yresolution" [24]',
+        'Integrator "path" "integer maxdepth" [2]',
+        'WorldBegin',
+        'LightSource "distant" "point from" [0 0 -30] "point to" [0 0 0]'
+        ' "rgb L" [3 3 3]',
+        'Material "matte" "rgb Kd" [0.6 0.5 0.4]',
+    ]
+    for _ in range(200):
+        x, y, z = rng.uniform(-10, 10, 3)
+        r = rng.uniform(0.3, 1.0)
+        lines += [
+            "AttributeBegin",
+            f"Translate {x:.4f} {y:.4f} {z:.4f}",
+            f'Shape "sphere" "float radius" [{r:.4f}]',
+            "AttributeEnd",
+        ]
+    path = tmp_path / "field.pbrt"
+    path.write_text("\n".join(lines) + "\n")
+
+    scene = compile_scene_file(path)
+    img_p = render_scene(scene, intersector="pallas", show_progress=False)
+    img_b = render_scene(scene, intersector="brute", show_progress=False)
+    assert not np.isnan(img_p).any()
+    assert img_p.mean() > 0.01  # spheres actually lit
+    np.testing.assert_allclose(img_p, img_b, rtol=2e-4, atol=1e-5)
+
+
 def test_sphere_tables_structure():
     from curry_pbrt_tpu.ops.pallas.sphere_kernel import build_sphere_tables
 

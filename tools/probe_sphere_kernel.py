@@ -80,7 +80,13 @@ def main():
     if not args.no_dense:
         os.environ["CURRY_SPH_KERNEL_MIN"] = str(S + 1)
         idn, pd_, tpd = make_pallas_intersectors(tris, sph, view_origin=np.zeros(3))
-        td = np.asarray(tpd(o_, d_, tm)[0])
+        try:
+            td = np.asarray(tpd(o_, d_, tm)[0])
+        except Exception as e:  # noqa: BLE001 — the dense path's O(N·S)
+            # intermediates exhaust HBM around 10k spheres × 32k rays;
+            # that's the scaling hole the kernel closes
+            print(f"dense:  FAILED ({type(e).__name__}: {str(e)[:120]})")
+            return
         agree = np.isclose(td, tk, rtol=2e-4).mean()
         wd_c = _timed(lambda: tpd(o_, d_, tm))
         wd_a = _timed(lambda: pd_(o_, d_, tm))
