@@ -51,8 +51,12 @@ def plan_tri_kernel(tris: isect.TriangleArrays, view_origin=None):
     # the bigger the cluster table the wider the optimum (mesh10k: 2048
     # best at 3.64 s, 4096 3.79 s; mesh100k: 4096 best at 9.08 s, 8192
     # 9.28 s; mesh600k: 4096 best at 1.34 s, 2048 1.61 s).
+    # block_t: 8 (small) / 64 / 128 (huge): at 620k tris the 128-tri kd
+    # cells halve the cluster table and slab count and win 7.6%
+    # (1.331 -> 1.237 s, 2-run confirmed); at 100k tris 128 loses
+    # (9.58 -> 9.92 s) — the threshold splits those two points.
     small = tris.count <= 512
-    block_t = 8 if small else 64
+    block_t = 8 if small else (128 if tris.count > 256 * 1024 else 64)
     block_r = 4096 if tris.count > 512 * 64 else 2048
     if os.environ.get("CURRY_BLOCK_T"):  # sweep knob (PERF.md)
         block_t = int(os.environ["CURRY_BLOCK_T"])
