@@ -25,13 +25,14 @@ Configs:
                             spp, depth 8) — kept for round-over-round
                             comparability
   mesh10k_1024_full         config 5 AS SPECIFIED: 1024², 256 spp, depth 8
-                            (1 timed pass — a pass is minutes; VERDICT r3
-                            item 3). vs_baseline uses the mesh10k_512 CPU
-                            rate (same scene/unit; a full-size CPU pass
-                            would take hours).
+                            (2 timed passes; VERDICT r4 item 7). vs_baseline
+                            uses the mesh10k_512 CPU rate (same scene/unit;
+                            a full-size CPU pass would take hours).
   mesh100k_512              hierarchy benchmark (1.6k clusters, 7 slabs)
   mesh600k_256              streamed-slab benchmark (620k tris — beyond the
                             r3 kernel's 500k VMEM error)
+  spherefield10k_256        10k-sphere field through the sphere cluster
+                            kernel (r5 — the dense path OOMs at this count)
 
 The "sol" section merges roofline.json (tools/roofline.py --write): the
 traversal kernel's achieved f32 throughput as a % of the assumed v5e VPU
@@ -80,6 +81,15 @@ SECONDARY = {
              intersector="pallas"),
         2, "mesh600k_128r",  # CPU pass at 128²/2spp (same scene/depth/unit)
     ),
+    "spherefield10k_256": (
+        # 10k-sphere field through the sphere cluster kernel (r5; the dense
+        # O(rays×spheres) path RESOURCE_EXHAUSTs at this count, so there is
+        # no same-protocol CPU rate — this config is a capability +
+        # regression gate, with probe ratios in PERF.md)
+        dict(scene="spherefield10k.pbrt", res=256, spp=4, depth=3,
+             intersector="pallas"),
+        3, None,
+    ),
     # LAST: ~12 minutes (warm group + two full passes) — if an external
     # timeout cuts the bench short, the cheap configs are already recorded
     "mesh10k_1024_full": (
@@ -101,6 +111,7 @@ EXPECTED_TPU_CHECKSUMS = {
     "mesh10k_512": 318225.1,
     "mesh100k_512": 319003.6,
     "mesh600k_256": 79705.3,
+    "spherefield10k_256": 30907.0,
     "mesh10k_1024_full": 1273154.2,
 }
 CHECKSUM_ATOL = 0.05  # the stored values are rounded to 0.1
