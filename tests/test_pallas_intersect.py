@@ -112,6 +112,56 @@ def test_kdmedian_order_properties():
     assert sa_kd <= sa_mo
 
 
+def test_group_kernel_bit_equal_t():
+    """The 8-ray-granularity experiment kernel (intersect_group.py — kept
+    as the measured silicon-floor proof, PERF.md r5) must stay bit-equal
+    on t to the production lane-major kernel: identical per-pair fp ops,
+    and the accepted-pair min is visit-order independent."""
+    from curry_pbrt_tpu.ops.pallas.intersect_kernel import build_tri_tables
+    from curry_pbrt_tpu.ops.pallas.intersect_group import (
+        tri_any_hit_groups,
+        tri_closest_hit_groups,
+        tris_lane_major,
+    )
+
+    o, d, t_max, p0, p1, p2 = _random_scene(17, n_rays=256, n_tris=900,
+                                            spread=6.0)
+    prim = np.arange(900, dtype=np.int32)
+    view = np.zeros(3)
+
+    tabA = build_tri_tables(p0, p1, p2, prim, block_t=64, view_origin=view)
+    tA, iA = tri_closest_hit_pallas(
+        o, d, t_max, jnp.asarray(tabA.p0), jnp.asarray(tabA.p1),
+        jnp.asarray(tabA.p2), jnp.asarray(tabA.valid),
+        tabA.cluster_aabbs, interpret=True, block_t=64,
+    )
+    tabB = build_tri_tables(p0, p1, p2, prim, block_t=128, view_origin=view,
+                            clusters_per_slab=8, use_supers=True)
+    tB, iB = tri_closest_hit_groups(
+        o, d, t_max, jnp.asarray(tris_lane_major(tabB)),
+        jnp.asarray(tabB.cluster_aabbs), jnp.asarray(tabB.super_aabbs),
+        jnp.asarray(tabB.slab_aabbs), block_t=128,
+        clusters_per_slab=tabB.clusters_per_slab, interpret=True,
+        block_r=256,
+    )
+    np.testing.assert_array_equal(np.asarray(tA), np.asarray(tB))
+    # winners map to the same prim through each table's own row order
+    pA = np.where(np.asarray(iA) >= 0,
+                  tabA.prim[np.clip(np.asarray(iA), 0, len(tabA.prim) - 1)], -1)
+    pB = np.where(np.asarray(iB) >= 0,
+                  tabB.prim[np.clip(np.asarray(iB), 0, len(tabB.prim) - 1)], -1)
+    np.testing.assert_array_equal(pA, pB)
+    hB = tri_any_hit_groups(
+        o, d, t_max * 0.999, jnp.asarray(tris_lane_major(tabB)),
+        jnp.asarray(tabB.cluster_aabbs), jnp.asarray(tabB.super_aabbs),
+        jnp.asarray(tabB.slab_aabbs), block_t=128,
+        clusters_per_slab=tabB.clusters_per_slab, interpret=True,
+        block_r=256,
+    )
+    np.testing.assert_array_equal(np.asarray(hB),
+                                  np.asarray(tB) <= np.asarray(t_max) * 0.999)
+
+
 def test_any_hit_matches_brute():
     o, d, t_max, p0, p1, p2 = _random_scene(7, n_rays=96, n_tris=21)
     tris = isect.TriangleArrays(p0, p1, p2, jnp.arange(p0.shape[0], dtype=jnp.int32))
